@@ -1,0 +1,55 @@
+"""Pipeline constants.
+
+TPU-native rebuild of the constants plane of the reference implementation
+(see /root/reference/sep/helpers/constants.py:1-47).  Values are part of the
+measured-configuration contract (BASELINE.md) and must not drift.
+"""
+import numpy as np
+
+# Universal constants
+SPEED_OF_SOUND = 343.0  # m/s
+FS = 48000
+
+# Project constants
+MAX_SHIFTS = [2, 4]  # strict / relaxed hypercube half-widths (samples)
+ROOM_DIM = 6
+MAX_SPEAKER_RELATIVE_HEIGHT = 0.8
+NEG_SAMPLE_INITIAL_CANDIDATES = 30
+
+# Robot constants
+CHANNELS_PER_MIC = 1
+CODEC_FRAME_DURATION_S = 0.02
+
+# SRP-PHAT parameters
+INIT_WIDTH = 8          # initial TDoA hypercube width (samples)
+BIN0 = 2
+BIN1 = 200
+FREQ_BINS = np.arange(BIN0, BIN1)   # STFT bins used by SRP-PHAT
+N_FFT = 2048
+SRP_THRESHOLD = 0.02
+
+# Localization parameters
+MIN_AREA = 400
+MIN_WIDTH = 3
+MIN_TOLERANCE = 4
+MAX_BIG_PATCH = 30
+MIN_WIDTH_REQUIRED = 2
+
+LOC_MODEL_THRESHOLD = 0.6
+USE_RELATIVE_SPOT_POWER = False
+SPOT_POWER_THRESHOLD1 = 0.008
+SPOT_POWER_THRESHOLD2 = 0.01
+SI_SNR_POWER_THRESHOLD = 4e-3
+
+# Energy threshold to avoid choosing silence when generating hardware data
+WINDOWED_RMS_POWER_THRESHOLD = 0.001
+
+MAX_NUM = 25
+
+# ---------------------------------------------------------------------------
+# TPU-build additions (not in the reference): static-shape capacities used to
+# keep every pipeline stage jit-compiled with fixed shapes.
+# ---------------------------------------------------------------------------
+SPOT_BATCH = 128          # spotforming batch (reference uses 128 too)
+MAX_SMALL_PATCH = 512     # cap on concatenated fine-stage candidates
+MAX_PEAKS = 256           # cap on SRP peaks fed to the greedy clusterer

@@ -1,0 +1,124 @@
+"""Unit tests for L1 helpers: shift math, audio IO, metrics, noise, codec."""
+import numpy as np
+import pytest
+
+from acousticswarms_speech_tpu.constants import FS, SPEED_OF_SOUND
+from acousticswarms_speech_tpu.utils import (
+    get_shift_vector,
+    max_avg_power,
+    powerlaw_psd_gaussian,
+    read_audio_file,
+    sample_offsets_for,
+    shift_mixture_given_samples,
+    si_sdr,
+    split_wav,
+    split_wise_sisdr,
+    to_categorical,
+    write_wav,
+)
+
+
+def test_shift_vector_closed_form():
+    # A source on the x axis; mic 0 at origin, mic 1 further along x.
+    mics = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    src = np.array([3.0, 0.0, 0.0])
+    v = get_shift_vector(src, mics, FS)
+    # mic1 is 1 m closer: delay difference = -1/c * fs; shift = -(d1 - d0)
+    expected = -round((2.0 - 3.0) / SPEED_OF_SOUND * FS)
+    assert v[0] == 0
+    assert v[1] == expected
+
+
+def test_sample_offsets_for_matches_shift_vector():
+    rng = np.random.default_rng(0)
+    mics = rng.uniform(-1, 1, size=(7, 3))
+    pts = rng.uniform(-3, 3, size=(5, 3))
+    offs = sample_offsets_for(pts, mics, FS)
+    for i, p in enumerate(pts):
+        v = get_shift_vector(p, mics, FS)
+        # offsets are delay(mic_i) - delay(mic_0); shift vector is its negation
+        np.testing.assert_allclose(np.round(offs[i]), -v[1:], atol=0.5)
+
+
+def test_shift_mixture_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, 100))
+    shifts = np.array([0, 5, -7])
+    y, s = shift_mixture_given_samples(x, shifts.copy())
+    z, _ = shift_mixture_given_samples(y, shifts.copy(), inverse=True)
+    np.testing.assert_allclose(z, x, atol=1e-12)
+    np.testing.assert_array_equal(s, shifts)
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    x = np.clip(rng.normal(scale=0.1, size=(2, 4800)), -1, 1).astype(np.float32)
+    p = str(tmp_path / "x.wav")
+    write_wav(p, x, FS)
+    y = read_audio_file(p, FS)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+
+
+def test_si_sdr_known_values():
+    rng = np.random.default_rng(3)
+    ref = rng.normal(size=10000)
+    assert si_sdr(ref * 2.5, ref) > 80  # scale invariant
+    noisy = ref + 0.1 * rng.normal(size=10000)
+    val = si_sdr(noisy, ref)
+    assert 15 < val < 25
+
+
+def test_split_wav_segments_bounded():
+    rng = np.random.default_rng(4)
+    wav = np.zeros(48000)
+    wav[10000:20000] = 0.5 * rng.normal(size=10000)
+    segs = split_wav(wav)
+    assert len(segs) > 0
+    for a, b in segs:
+        # reference semantics: the final sub-segment of a long run absorbs the
+        # remainder, so segments are in [MIN_SEG, 2*MAX_SEG)
+        assert 1000 <= b - a < 8000
+        # segments roughly inside the active region
+        assert a >= 8000 and b <= 23000
+    vals = split_wise_sisdr(wav, wav + 1e-6 * rng.normal(size=48000), segs)
+    assert all(v > 40 for v in vals)
+
+
+def test_max_avg_power_matches_manual():
+    x = np.zeros(30000)
+    x[5000:6000] = 1.0
+    peak, win = max_avg_power(x, window_size=12000)
+    manual = np.sqrt(1000 / 12000)
+    assert abs(peak - manual) < 0.01
+    assert len(win) == 12000
+
+
+def test_pink_noise_spectrum_slope():
+    y = powerlaw_psd_gaussian(1, (4, 2 ** 14), random_state=0)
+    assert y.shape == (4, 2 ** 14)
+    spec = np.abs(np.fft.rfft(y, axis=-1)) ** 2
+    f = np.fft.rfftfreq(2 ** 14)
+    lo = spec[:, (f > 0.001) & (f < 0.01)].mean()
+    hi = spec[:, (f > 0.1) & (f < 0.5)].mean()
+    assert lo > hi * 5  # 1/f: low band much stronger
+    assert abs(y.std() - 1.0) < 0.1
+
+
+def test_to_categorical():
+    v = to_categorical(1, 2)
+    np.testing.assert_array_equal(v, [0.0, 1.0])
+
+
+def test_opus_codec_roundtrip():
+    from acousticswarms_speech_tpu.utils.codec import OpusCodec
+
+    codec = OpusCodec(1, FS, 0.02)
+    t = np.arange(FS) / FS
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    y = codec.apply(x)
+    assert y.shape == x.shape
+    if codec.available:
+        # Lossy but correlated; robust check on the steady-state portion.
+        c = np.corrcoef(x[FS // 4:], y[FS // 4:])[0, 1]
+        assert c > 0.7
