@@ -183,7 +183,10 @@ class MultiheadAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, key_mask=None) -> jnp.ndarray:
+        """key_mask: optional (B, T) bool; False keys are excluded (matching
+        torch's key_padding_mask semantics, used for the fixed-size speaker
+        axis replacing the reference's ragged packing)."""
         E, H = self.embed_dim, self.num_heads
         hd = E // H
         in_w = self.param("in_proj_weight", _kaiming_uniform(E), (3 * E, E))
@@ -197,6 +200,8 @@ class MultiheadAttention(nn.Module):
         v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / math.sqrt(hd)
+        if key_mask is not None:
+            scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, E)
@@ -217,8 +222,10 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + MultiheadAttention(self.d_model, self.nhead, name="self_attn")(x)
+    def __call__(self, x: jnp.ndarray, key_mask=None) -> jnp.ndarray:
+        x = x + MultiheadAttention(self.d_model, self.nhead, name="self_attn")(
+            x, key_mask
+        )
         x = LayerNorm(self.d_model, name="norm1")(x)
         y = Dense(self.d_model, self.dim_feedforward, name="linear1")(x)
         y = jax.nn.relu(y)
@@ -237,12 +244,12 @@ class TransformerEncoder(nn.Module):
     num_layers: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, key_mask=None) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
                 name=f"layers_{i}",
-            )(x)
+            )(x, key_mask)
         return x
 
 

@@ -1,0 +1,114 @@
+"""End-to-end joint localization + separation pipeline.
+
+Rebuild of /root/reference/sep/training/JointModel/network.py (`JointModel`):
+localize-by-separation (SRP pruning -> coarse spotform -> fine spotform ->
+NMS) followed by separate-by-localization (one separation forward over the
+final speaker TDoAs).  Stage wall-times are recorded in `self.times[0..4]`
+with the same ordering as the reference (SRP, coarse, fine, clustering,
+separation); geometry setup is cached per mic-configuration string exactly
+like JointModel.setup (:125-137).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..constants import SPOT_BATCH
+from ..models import SepNet, SpotNet
+from ..search.spotform import SeparationInference, SpotformExecutor
+from .mic_array import MicArray
+
+
+class JointPipeline:
+    def __init__(self, spot_model: SpotNet, spot_params, sep_model: SepNet,
+                 sep_params, spot_batch_size: int = SPOT_BATCH,
+                 use_bf16: bool = False):
+        self.spot_model = SpotformExecutor(spot_model, spot_params,
+                                           batch_size=spot_batch_size,
+                                           use_bf16=use_bf16)
+        self.sep_model = SeparationInference(sep_model, sep_params,
+                                             use_bf16=use_bf16)
+        self.times = [0.0] * 5
+        self.previous_config: str | None = None
+        self.mic_processor: MicArray | None = None
+
+    @classmethod
+    def from_experiments(cls, spot_exp_dir: str, sep_exp_dir: str, **kwargs):
+        """Load both checkpoints from experiment directories ('best' mode),
+        mirroring JointModel.__init__ (network.py:106-123)."""
+        from ..training.experiment import load_model_from_exp
+
+        spot_model, spot_params = load_model_from_exp(spot_exp_dir, mode="best")
+        sep_model, sep_params = load_model_from_exp(sep_exp_dir, mode="best")
+        return cls(spot_model, spot_params, sep_model, sep_params, **kwargs)
+
+    def setup(self, mic_positions: np.ndarray, speaker_range,
+              cache_dir: str | None = None, grid_size: float = 0.05) -> None:
+        """Initialize (or reuse) the search geometry for a mic configuration."""
+        current_config = "~".join(
+            f"{x:.05f}" for x in np.asarray(mic_positions).flatten()
+        ) + "|" + "~".join(f"{x:.05f}" for x in speaker_range)
+        if current_config == self.previous_config:
+            return
+        self.mic_processor = MicArray(mic_positions, spk_range=speaker_range,
+                                      cache_dir=cache_dir, grid_size=grid_size)
+        self.previous_config = current_config
+
+    def forward(self, mix_data: np.ndarray):
+        """mix_data: (M, T).  Returns (patches, audio_loc, audio, srp_drop,
+        stage1_drop, spot_times) like JointModel.forward (:142-149)."""
+        self.times = [0.0] * 5
+        patches, audio_loc, srp_drop, stage1_drop, spot_times = \
+            self.localize_by_separation(mix_data)
+        t0 = time.time()
+        audio = self.separate_by_localization(mix_data, patches)
+        self.times[4] = time.time() - t0
+        return patches, audio_loc, audio, srp_drop, stage1_drop, spot_times
+
+    __call__ = forward
+
+    def localize_by_separation(self, mix_data: np.ndarray):
+        assert self.previous_config is not None, \
+            "Mic positions and speaker range not provided; call .setup() first"
+
+        t0 = time.time()
+        patch_list, simple_pos = self.mic_processor.apply_srp_phat(mix_data)
+        self.times[0] = time.time() - t0
+        if len(patch_list) <= 0:
+            return [], [], 0, 0, 0
+
+        t0 = time.time()
+        patch_list = self.mic_processor.spotform_big_patch(
+            mix_data, patch_list, self.spot_model
+        )
+        self.times[1] = time.time() - t0
+        if len(patch_list) <= 0:
+            return [], [], 0, 0, 0
+
+        t0 = time.time()
+        output_pair = self.mic_processor.spotform_small_patch_parallel(
+            mix_data, patch_list, self.spot_model
+        )
+        self.times[2] = time.time() - t0
+        if len(output_pair) <= 0:
+            return [], [], 0, 0, 0
+
+        t0 = time.time()
+        audio_final, patch_final, spot_times, _ = \
+            self.mic_processor.clustering_new(output_pair)
+        self.times[3] = time.time() - t0
+        if len(patch_final) <= 0:
+            return [], [], 0, 0, 0
+        return patch_final, np.array(audio_final), 0, 0, spot_times
+
+    def separate_by_localization(self, mix_data: np.ndarray, target_patches):
+        if len(target_patches) == 0:
+            return None
+        return self.sep_model.infer(mix_data, [p[0] for p in target_patches])
+
+    def separate_by_localization_by_sample(self, mix_data: np.ndarray,
+                                           sample_lists):
+        if len(sample_lists) == 0:
+            return None
+        return self.sep_model.infer_sample(mix_data, sample_lists)

@@ -1,0 +1,237 @@
+"""Localization-by-separation engine: the 4-stage TDoA search.
+
+TPU-native rebuild of /root/reference/sep/Mic_Array.py (class `Mic_Array`):
+stage 0: SRP-PHAT pruning -> candidate width-8..4 hypercubes
+stage 1: coarse spotforming over width-4 patches (relaxed window)
+stage 2: subdivision to width-2 patches + one combined strict spotform sweep,
+         per-big-patch power threshold and SI-SDR greedy clustering
+stage 3: global NMS (Clustering_new)
+
+The public API mirrors the reference's method names so existing workflows
+translate directly; snake_case methods are the primary API with reference-
+style aliases provided.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..constants import (
+    FREQ_BINS,
+    FS,
+    INIT_WIDTH,
+    MAX_NUM,
+    N_FFT,
+    SPEED_OF_SOUND,
+    SPOT_POWER_THRESHOLD2,
+    USE_RELATIVE_SPOT_POWER,
+)
+from ..dsp.geometry import build_geometry
+from ..dsp.patch import Patch
+from ..search.clustering import clustering_nms, find_merge_center, weight_mean_pos
+from ..search.srp_pruning import SrpEngine
+from ..search.subdivide import binary_search_baseline, search_area
+from ..utils.metrics import max_avg_power, si_sdr
+
+
+class MicArray:
+    """One microphone configuration's search engine."""
+
+    def __init__(self, mic_positions: np.ndarray, spk_range=None,
+                 grid_size: float = 0.05, prune_method: str = "SRP",
+                 min_trigger_power: float = 0.5, cache_dir: str | None = None,
+                 threshold=(0.15, 0.015, 0.05)):
+        self.prune_method = prune_method
+        self.min_trigger_power = min_trigger_power
+        self.range_spk = spk_range
+        self.mic_positions = np.asarray(mic_positions, dtype=np.float64)
+        self.num_mic = self.mic_positions.shape[0]
+
+        # Physical TDoA upper bound per pair (+8 cm slack)
+        # (reference: Mic_Array.py:113-115)
+        self.upper_bound_pairwise = (
+            np.linalg.norm(self.mic_positions[1:] - self.mic_positions[0], axis=1)
+            + 0.08
+        ) / SPEED_OF_SOUND * FS
+
+        self.geom = build_geometry(self.mic_positions, spk_range,
+                                   grid_size=grid_size, cache_dir=cache_dir)
+        self.srp = SrpEngine(self.geom, threshold=threshold, width=INIT_WIDTH,
+                             freq_bins=FREQ_BINS, fs=FS, n_fft=N_FFT)
+
+        self.original_times = 0
+        self.spotforming_times = 0
+        self.big_spotforming_times = 0
+
+    # ----- stage 0 -------------------------------------------------------
+    def apply_srp_phat(self, mix_data: np.ndarray):
+        """SRP-PHAT map + adaptive peak pruning -> candidate patches
+        (reference: Mic_Array.py:152-194)."""
+        self.spotforming_times = 0
+        self.original_times = 0
+        mix = np.asarray(mix_data)
+
+        if self.prune_method == "SRP":
+            self.srp.compute_map(mix)
+        elif self.prune_method == "MUSIC":
+            from ..dsp.music import music_map_window
+
+            self.srp.srp_map = music_map_window(
+                mix, self.geom, FREQ_BINS, N_FFT
+            ).astype(np.float32)
+            self.srp.max_power = float(self.srp.srp_map.max())
+            self.srp.min_power = float(self.srp.srp_map.min())
+        elif self.prune_method == "TOPS":
+            from ..dsp.tops import tops_map_window
+
+            self.srp.srp_map = tops_map_window(
+                mix, self.geom, FREQ_BINS, N_FFT
+            ).astype(np.float32)
+            self.srp.max_power = float(self.srp.srp_map.max())
+            self.srp.min_power = float(self.srp.srp_map.min())
+        else:
+            raise ValueError(f"unknown prune method {self.prune_method}")
+
+        patch_list = self.srp.local_source_adaptive()
+        simple_pos = np.zeros((3, 3))
+        return patch_list, simple_pos
+
+    # ----- stage 1 -------------------------------------------------------
+    def spotform_big_patch(self, mix_data: np.ndarray, patch_list, spot_model):
+        """Coarse spotforming filter (reference: Mic_Array.py:196-222)."""
+        self.big_spotforming_times = len(patch_list)
+        candidate_finished, powers_with_dis, relative_threshold = \
+            binary_search_baseline(mix_data, spot_model, patch_list,
+                                   self.mic_positions)
+        self.relative_threshold = relative_threshold
+        return candidate_finished
+
+    # ----- stage 2 -------------------------------------------------------
+    def spotform_small_patch_parallel(self, mix_data: np.ndarray,
+                                      candidate_finished, spot_model,
+                                      sample_gt=None):
+        """Subdivide every big patch, run ONE combined strict spotforming
+        sweep, then per-big-patch threshold + SI-SDR clustering
+        (reference: Mic_Array.py:225-395)."""
+        width_list0 = [2 for _ in range(self.num_mic - 1)]
+        output_pair = []
+
+        total_patch: list[Patch] = []
+        patches_indexes = [0]
+        init_area_total = []
+        big_patch_center_total = []
+        self.spotforming_times = 0
+
+        if USE_RELATIVE_SPOT_POWER:
+            spot_power_threshold = min(SPOT_POWER_THRESHOLD2,
+                                       self.relative_threshold)
+        else:
+            spot_power_threshold = SPOT_POWER_THRESHOLD2
+
+        # 2.1: subdivide and collect all small patches across big patches
+        for i in range(len(candidate_finished)):
+            patch_processed = search_area([candidate_finished[i]],
+                                          self.mic_positions,
+                                          self.upper_bound_pairwise)
+            init_area_total.append(candidate_finished[i].area_points)
+
+            patch_center0 = Patch(candidate_finished[i].sample_offset,
+                                  width_list0, None,
+                                  candidate_finished[i].peak_pos)
+            big_patch_center_total.append(patch_center0.center_pos())
+            patch_processed.append(patch_center0)
+
+            self.spotforming_times += len(patch_processed)
+            total_patch.extend(patch_processed)
+            patches_indexes.append(self.spotforming_times)
+
+        sep_data_total = spot_model.shift_and_sep(mix_data, total_patch,
+                                                  strict=1)
+
+        # 2.2: per-big-patch processing
+        for i in range(len(patches_indexes) - 1):
+            big_offset = candidate_finished[i].sample_offset
+            big_label = -1
+            if sample_gt is not None:
+                for k in range(sample_gt.shape[1]):
+                    if np.amax(np.abs(big_offset - sample_gt[:, k])) < 3.5:
+                        big_label = k
+                        break
+
+            sep_data = sep_data_total[patches_indexes[i]: patches_indexes[i + 1]]
+            patch_processed = total_patch[patches_indexes[i]: patches_indexes[i + 1]]
+            init_area = init_area_total[i]
+            big_patch_center = big_patch_center_total[i]
+
+            powers = []
+            powers2 = []
+            for j in range(len(patch_processed)):
+                sep_data[j, :] = sep_data[j, :] - np.mean(sep_data[j, :])
+                powers.append(float(np.sum(sep_data[j, :] ** 2)))
+                p2, _ = max_avg_power(sep_data[j, :])
+                powers2.append(p2)
+
+            center = candidate_finished[i].center_pos()
+            d = (np.linalg.norm(center - self.mic_positions[0])
+                 if center is not None and center.shape[0] == 3 else 4.0)
+            if np.amax(powers2) < spot_power_threshold / (1 + d):
+                continue
+
+            # SI-SDR greedy clustering within the big patch
+            sort_idx = np.argsort(-np.array(powers))
+            SI_SDR_THRESHOLD = -4
+            clusters: dict[int, list[int]] = {}
+            min_trigger_power2 = (
+                self.min_trigger_power / (3 * 48000) * sep_data.shape[1]
+            )
+            for _id in sort_idx:
+                unique = True
+                d_id = np.linalg.norm(patch_processed[_id].center_pos()
+                                      - self.mic_positions[0])
+                threshold = spot_power_threshold / (1 + d_id)
+                if powers2[_id] < threshold or powers[_id] < min_trigger_power2:
+                    continue
+                for cluster_id in clusters:
+                    head = clusters[cluster_id][0]
+                    if si_sdr(sep_data[_id, :], sep_data[head]) > SI_SDR_THRESHOLD:
+                        clusters[head].append(_id)
+                        unique = False
+                        break
+                if unique:
+                    clusters[_id] = [_id]
+            if len(clusters) <= 0:
+                continue
+
+            # merge cluster members into a center patch
+            for cluster_id in clusters:
+                position, offsets = weight_mean_pos(patch_processed, powers,
+                                                    clusters[cluster_id])
+                patch_center = find_merge_center(offsets, init_area,
+                                                 self.mic_positions,
+                                                 big_patch_center)
+                save_offsets = {
+                    "audio_offset": patch_processed[cluster_id].sample_offset,
+                    "localization_offset": offsets,
+                }
+                pair = (patch_center, sep_data[cluster_id, :],
+                        powers[cluster_id], f"{i}_{cluster_id}",
+                        save_offsets, big_label)
+                output_pair.append(pair)
+
+        return output_pair
+
+    # ----- stage 3 -------------------------------------------------------
+    def clustering_new(self, output_pair, simple_pos=None, sample_gt=None):
+        """Final NMS (reference: Mic_Array.py:399-500).  Returns
+        (audio_final, patch_final, total spotforming count, wrong list)."""
+        audio_final, patch_final, wrong = clustering_nms(output_pair,
+                                                         sample_gt=sample_gt)
+        return (audio_final, patch_final,
+                self.big_spotforming_times + self.spotforming_times, wrong)
+
+    # Reference-style aliases (public API compatibility, BASELINE.json)
+    Apply_SRP_PHAT = apply_srp_phat
+    Spotform_Big_Patch = spotform_big_patch
+    Spotform_Small_Patch_Parallel = spotform_small_patch_parallel
+    Clustering_new = clustering_new

@@ -1,0 +1,153 @@
+"""Fine-stage power clustering and final non-max suppression.
+
+Counterpart of the clustering logic in /root/reference/sep/Mic_Array.py:
+- `check_sisnr_win` (:18-28), `weight_mean_pos` (:32-47),
+  `find_merge_center` (:50-81)
+- the per-big-patch power threshold + SI-SDR greedy clustering inside
+  `Spotform_Small_Patch_Parallel` (:285-395) — implemented in
+  pipeline/mic_array.py which calls these helpers
+- `Clustering_new` (:399-500): power-sorted NMS across big patches using
+  full and segment-wise SI-SDR plus 2D distance.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import FS, SPEED_OF_SOUND
+from ..dsp.patch import Patch
+from ..utils.metrics import si_sdr, split_wav, split_wise_sisdr
+
+
+def check_sisnr_win(sisnr_list, threshold: float = -2, threshold2: float = -7) -> bool:
+    """Window-wise SI-SDR similarity test (Mic_Array.py:18-28): similar iff
+    some window is above `threshold` and no window is below `threshold2`."""
+    same_flag = False
+    same_flag2 = True
+    for value in sisnr_list:
+        if value > threshold:
+            same_flag = True
+        if value < threshold2:
+            same_flag2 = False
+    return same_flag and same_flag2
+
+
+def weight_mean_pos(patch_list, powers, id_lists):
+    """Power-weighted mean of positions/offsets of clustered patches,
+    ignoring members below 0.75x the cluster head's power
+    (Mic_Array.py:32-47)."""
+    total_pos = np.zeros(3)
+    total_power = 0.0
+    max_power = powers[id_lists[0]]
+    total_offsets = np.zeros_like(patch_list[0].sample_offset, dtype=np.float64)
+    for _id in id_lists:
+        if powers[_id] < max_power * 0.75:
+            continue
+        total_pos += powers[_id] * patch_list[_id].center_pos()
+        total_offsets += powers[_id] * patch_list[_id].sample_offset
+        total_power += powers[_id]
+    return total_pos / total_power, total_offsets / total_power
+
+
+def find_merge_center(merged_offsets, init_area, mic_positions, big_patch_center):
+    """Build the merged cluster-center patch: a width-3 hypercube at the
+    weighted offsets intersected with the big patch's area; widen up to +3 if
+    empty, falling back to the big patch center (Mic_Array.py:50-81)."""
+    num_pair = mic_positions.shape[0] - 1
+    begin_width = 3
+    patch_center = Patch(merged_offsets,
+                         [begin_width] * num_pair, None)
+
+    area = patch_center.hyperbola_general_area(
+        init_area[0, :], init_area[1, :], init_area[2, :], mic_positions,
+        SPEED_OF_SOUND, FS,
+    ) == 1
+    if np.sum(area) == 0:
+        find_center = False
+        for factor in range(4):
+            patch_center.width_list = np.array(
+                [begin_width + factor] * num_pair, dtype=np.float64
+            )
+            area = patch_center.hyperbola_general_area(
+                init_area[0, :], init_area[1, :], init_area[2, :],
+                mic_positions, SPEED_OF_SOUND, FS,
+            ) == 1
+            if np.sum(area) > 0:
+                patch_center.area_points = init_area[:, area]
+                find_center = True
+                break
+        if not find_center:
+            patch_center.peak_pos = big_patch_center
+    else:
+        patch_center.area_points = init_area[:, area]
+    return patch_center
+
+
+def clustering_nms(output_pair, sample_gt=None, verbose: bool = False):
+    """Final NMS over all fine-stage clusters (Mic_Array.Clustering_new,
+    :399-500).
+
+    output_pair entries: (patch_center, audio, power, id_str, offsets_dict,
+    big_label).  Returns (audio_final, patch_final, wrong_spotforming).
+    """
+    SI_SDR_THRESHOLD = -1
+    candidates = sorted(output_pair, key=lambda x: -x[2])
+    clusters: dict[int, list[int]] = {}
+    wrong_spotforming = []
+
+    for _id in range(len(candidates)):
+        unique = True
+        belong_cluster = -1
+        sisnr_seg = []
+
+        big_label = candidates[_id][-1]
+        center1 = candidates[_id][0].center_pos()
+        audio1 = candidates[_id][1]
+        power1 = candidates[_id][2]
+
+        seg_win = split_wav(audio1)
+        if len(seg_win) == 0:
+            continue
+
+        for cluster_id in clusters:
+            head = clusters[cluster_id][0]
+            audio2 = candidates[head][1]
+            center2 = candidates[head][0].center_pos()
+
+            similarity = si_sdr(audio1, audio2)
+            sisdr_list = split_wise_sisdr(audio1, audio2, seg_win)
+            sisnr_seg.append(sisdr_list)
+
+            dis = np.linalg.norm(center1[:2] - center2[:2])
+            check_valid = check_sisnr_win(sisdr_list)
+
+            if similarity > SI_SDR_THRESHOLD or check_valid or dis < 0.45:
+                clusters[head].append(_id)
+                unique = False
+                belong_cluster = cluster_id
+                break
+
+        if len(sisnr_seg) != 0:
+            seg_max = np.amax(np.array(sisnr_seg), axis=0)
+            if check_sisnr_win(seg_max, threshold=-1, threshold2=-5):
+                unique = False
+
+        if unique:
+            clusters[_id] = [_id]
+        elif big_label >= 0 and sample_gt is not None and belong_cluster >= 0:
+            head = clusters[belong_cluster][0]
+            cluster_label = candidates[head][-1]
+            power2 = candidates[head][2]
+            offset1 = candidates[head][-2]["audio_offset"]
+            delta_offset = (offset1 - sample_gt[:, big_label]).astype(int)
+            if cluster_label == -1:
+                wrong_spotforming.append(
+                    (big_label, cluster_label, delta_offset, power1 / power2)
+                )
+
+    patch_final = []
+    audio_final = []
+    for cluster_id in clusters:
+        head = clusters[cluster_id][0]
+        patch_final.append(candidates[head])
+        audio_final.append(candidates[head][1])
+    return audio_final, patch_final, wrong_spotforming
