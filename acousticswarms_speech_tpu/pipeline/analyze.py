@@ -1,0 +1,108 @@
+"""Result aggregation: precision/recall, localization error percentiles,
+SI-SDRi — overall and per speaker count.
+
+Counterpart of /root/reference/sep/analyze_result.py:22-117; reads the
+`result_*.json` files written by evaluate.py (same schema as the reference).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+
+import numpy as np
+
+
+def analyze(input_dir: str, verbose: bool = True) -> dict:
+    dis_err_list = []
+    false_negative = false_positive = true_positive = 0
+
+    n_buckets = 5  # speaker counts 2..6
+    fp_num = np.zeros(n_buckets)
+    fn_num = np.zeros(n_buckets)
+    tp_num = np.zeros(n_buckets)
+    sisnri_numspk = [[] for _ in range(6)]
+    loc_err_numspk = [[] for _ in range(6)]
+
+    sisdr_improve, sisdr_in = [], []
+    mireval_improve, mireval_in = [], []
+
+    for result_path in sorted(glob.glob(input_dir + "/result*.json")):
+        with open(result_path) as f:
+            result = json.load(f)
+        gt_data = result["gt"]
+        pred_data = result["pred"]
+        remain_data = result["false_positive"]
+
+        bucket = min(max(len(gt_data) - 2, 0), n_buckets - 1)
+        real_num = 0
+        for pred in pred_data:
+            real_num += 1
+            sisdr_improve.append(pred["si_snri"])
+            sisdr_in.append(pred["si_snr_in"])
+            mireval_improve.append(pred["si_snri_mir"])
+            mireval_in.append(pred["si_snr_in_mir"])
+            dis_err_list.append(pred["dis_err"])
+            sisnri_numspk[bucket].append(pred["si_snri"])
+            loc_err_numspk[bucket].append(pred["dis_err"])
+
+        true_positive += real_num
+        false_negative += len(gt_data) - real_num
+        false_positive += len(remain_data)
+        tp_num[bucket] += real_num
+        fn_num[bucket] += len(gt_data) - real_num
+        fp_num[bucket] += len(remain_data)
+
+    out = {
+        "tp": true_positive, "fp": false_positive, "fn": false_negative,
+        "precision": true_positive / max(true_positive + false_positive, 1),
+        "recall": true_positive / max(true_positive + false_negative, 1),
+        "loc_err_mean": float(np.mean(dis_err_list)) if dis_err_list else None,
+        "loc_err_median": float(np.percentile(dis_err_list, 50))
+        if dis_err_list else None,
+        "loc_err_90": float(np.percentile(dis_err_list, 90))
+        if dis_err_list else None,
+        "sisdri_mean": float(np.mean(sisdr_improve)) if sisdr_improve else None,
+        "sisdri_mir_mean": float(np.mean(mireval_improve))
+        if mireval_improve else None,
+        "per_speaker_count": {},
+    }
+    for i in range(n_buckets):
+        if len(sisnri_numspk[i]) <= 0:
+            continue
+        out["per_speaker_count"][i + 2] = {
+            "precision": tp_num[i] / max(tp_num[i] + fp_num[i], 1),
+            "recall": tp_num[i] / max(tp_num[i] + fn_num[i], 1),
+            "loc_err_mean": float(np.mean(loc_err_numspk[i])),
+            "loc_err_median": float(np.percentile(loc_err_numspk[i], 50)),
+            "loc_err_90": float(np.percentile(loc_err_numspk[i], 90)),
+            "sisdri_mean": float(np.mean(sisnri_numspk[i])),
+        }
+
+    if verbose:
+        print(f"False positive = {false_positive}; False negative = "
+              f"{false_negative}; True positive = {true_positive}")
+        print(f"precision = {out['precision']:.4f} and "
+              f"recall = {out['recall']:.4f}")
+        for k, v in out["per_speaker_count"].items():
+            print(f"speaker_num {k} precision = {v['precision']:.4f} "
+                  f"recall = {v['recall']:.4f} loc_err={v['loc_err_mean']:.3f} "
+                  f"sisnri={v['sisdri_mean']:.3f}")
+        if dis_err_list:
+            print("avg dis err:", out["loc_err_mean"])
+            print("median dis err:", out["loc_err_median"])
+            print("0.90 dis err:", out["loc_err_90"])
+            print("avg si-snr i :", out["sisdri_mean"])
+            print("avg mir_eval si-snr i:", out["sisdri_mir_mean"])
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("input_dir", type=str)
+    args = parser.parse_args()
+    analyze(args.input_dir)
+
+
+if __name__ == "__main__":
+    main()

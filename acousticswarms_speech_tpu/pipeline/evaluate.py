@@ -1,0 +1,270 @@
+"""Evaluation driver: run the joint pipeline over a dataset, match
+predictions to ground truth, compute localization + separation metrics and
+write reference-format `result_<id>.json` files.
+
+Counterpart of /root/reference/sep/eval/eval_model.py and
+sep/eval/get_items.py.  Output JSON schema matches the reference exactly so
+`analyze.py` (and the reference's analyze_result.py) read it unchanged.
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+
+import numpy as np
+
+from ..constants import FS, SPEED_OF_SOUND
+from ..utils import (
+    list_top_level_directories,
+    read_audio_file,
+    si_sdr,
+)
+from ..utils.bss_eval import bss_eval_sources
+
+
+def find_best_permutation(wav_gt, wav_pred, pos_gt, pos_pred,
+                          acceptable_range: float = 1,
+                          accept_sisdr: float = -15):
+    """Exhaustive matching of predictions to GT by 2D distance + SI-SDR
+    (reference: eval_model.py:18-59)."""
+    num_gt = pos_gt.shape[0]
+    num_pred = pos_pred.shape[0]
+    n = max(num_gt, num_pred)
+
+    neg_sisdr_matrix = np.ones((n, n)) * 10000
+    dis_matrix = np.ones((n, n)) * 10000
+    for i in range(num_gt):
+        for j in range(num_pred):
+            dis_matrix[i, j] = np.linalg.norm(pos_gt[i][:2] - pos_pred[j][:2])
+            neg_sisdr_matrix[i, j] = -si_sdr(wav_pred[j], wav_gt[i])
+
+    best_perm, best_inliers, best_err = None, -1, 10000
+    for perm in itertools.permutations(range(n)):
+        curr_inliers = 0
+        loss_err = []
+        paired = []
+        for idx1, idx2 in enumerate(perm):
+            neg = neg_sisdr_matrix[idx1, idx2]
+            dis = dis_matrix[idx1, idx2]
+            if dis < acceptable_range and neg < -accept_sisdr:
+                curr_inliers += 1
+                loss_err.append(neg + dis)
+                paired.append((idx2, idx1))  # (output id, gt id)
+        curr_err = np.mean(loss_err) if loss_err else np.inf
+        if (curr_inliers > best_inliers) or (
+            curr_inliers == best_inliers and curr_err < best_err
+        ):
+            best_inliers, best_perm, best_err = curr_inliers, paired, curr_err
+    return best_perm
+
+
+def preprocess_metadata(metadata):
+    """(reference: eval_model.py:61-86)"""
+    mics = [f"mic{i:02d}" for i in range(7)]
+    mic_positions = np.array([metadata[k]["position"] for k in mics])
+    sources = [k for k in metadata if k.startswith("voice")]
+    voice_positions = np.array(
+        [metadata[s]["position"][:3] for s in sources]
+    )
+    num_spk = len(sources)
+    sample_offsets_gt = np.zeros((mic_positions.shape[0] - 1, num_spk))
+    for j in range(num_spk):
+        for i in range(1, mic_positions.shape[0]):
+            dis_offset = (np.linalg.norm(voice_positions[j] - mic_positions[i])
+                          - np.linalg.norm(voice_positions[j] - mic_positions[0]))
+            sample_offsets_gt[i - 1, j] = int(
+                round(dis_offset / SPEED_OF_SOUND * FS)
+            )
+    range_spk = list(metadata["ROI"])
+    range_spk[-1] += 0.02
+    return (mics, mic_positions, sources, voice_positions, sample_offsets_gt,
+            range_spk)
+
+
+def get_items(curr_dir: str, denoise_gt: bool = False):
+    """(reference: get_items.py:10-44)"""
+    with open(os.path.join(curr_dir, "metadata.json"), "rb") as f:
+        metadata = json.load(f)
+    mics = [k for k in metadata if "mic" in k]
+    mixture = np.concatenate([
+        read_audio_file(os.path.join(curr_dir, f"{m}_mixed.wav")) for m in mics
+    ])
+    voices = [k for k in metadata if "voice" in k]
+    gts = []
+    for voice in voices:
+        denoised = os.path.join(curr_dir, f"{mics[0]}_{voice}_denoised.wav")
+        if denoise_gt and os.path.exists(denoised):
+            gts.append(read_audio_file(denoised))
+        else:
+            gts.append(read_audio_file(
+                os.path.join(curr_dir, f"{mics[0]}_{voice}.wav")))
+    return metadata, mixture, np.concatenate(gts)
+
+
+def compute_metrics(input_signal, est_signal, gt, permute: bool = False):
+    """(reference: get_items.py:46-70) SDR via BSS-Eval + SI-SDR."""
+    input_sdr, _, _, _ = bss_eval_sources(gt, input_signal,
+                                          compute_permutation=False)
+    output_sdr, sir, sar, perm = bss_eval_sources(gt, est_signal,
+                                                  compute_permutation=permute)
+    output_sdr = output_sdr[perm] if permute else output_sdr
+
+    input_sisdr = [si_sdr(input_signal[i], gt[i]) for i in range(gt.shape[0])]
+    output_sisdr = [si_sdr(est_signal[i], gt[i]) for i in range(gt.shape[0])]
+    return list(input_sdr), list(output_sdr), input_sisdr, output_sisdr
+
+
+def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
+                     cache_geometry: bool = False, grid_size: float = 0.05,
+                     sample_filter=None):
+    """Run the pipeline over every sample dir; returns aggregate counters.
+
+    `model` is a JointPipeline (pipeline/joint.py)."""
+    all_tp, all_fn, all_fp = [], [], []
+
+    for sample_no in list_top_level_directories(dataset_dir):
+        if sample_filter is not None and not sample_filter(sample_no):
+            continue
+        curr = os.path.join(dataset_dir, sample_no)
+        print(" ------------------- Running on sample", curr)
+        save_data = {}
+
+        metadata, mix, gt = get_items(curr, denoise_gt=True)
+        (mics, mic_positions, sources, gt_speaker_positions,
+         sample_offsets_gt, speaker_range) = preprocess_metadata(metadata)
+        gt_num_speakers = gt_speaker_positions.shape[0]
+
+        model.setup(mic_positions=mic_positions, speaker_range=speaker_range,
+                    cache_dir=curr if cache_geometry else None,
+                    grid_size=grid_size)
+        patches, audio_loc, audio, _, _, spot_times = model.forward(mix)
+
+        if len(patches) == 0:
+            est_positions = np.zeros((0, 3))
+            est_offsets = []
+            audio = np.zeros((0, mix.shape[1]))
+            audio_loc = np.zeros((0, mix.shape[1]))
+        else:
+            est_positions = np.array([p[0].center_pos() for p in patches])
+            est_offsets = [p[4]["localization_offset"] for p in patches]
+            audio = np.asarray(audio)
+            audio_loc = np.asarray(audio_loc)
+
+        perm = find_best_permutation(gt, audio, gt_speaker_positions,
+                                     est_positions, acceptable_range=1)
+
+        save_data["mic_pos"] = mic_positions.tolist()
+        save_data["speaker_pos"] = gt_speaker_positions.tolist()
+        save_data["gt"] = []
+        save_data["pred"] = []
+        save_data["false_positive"] = []
+        save_data["est_offsets"] = np.array(est_offsets).tolist()
+        save_data["perm"] = perm
+        save_data["spot_times"] = int(spot_times)
+        save_data["stage_times"] = list(model.times)
+
+        n_gt, n_out, n_match = gt.shape[0], audio.shape[0], len(perm)
+        tp, fn, fp = n_match, n_gt - n_match, n_out - n_match
+        all_tp.append(tp)
+        all_fn.append(fn)
+        all_fp.append(fp)
+
+        if len(perm) > 0:
+            perm_arr = np.array(perm)
+            audio_m = audio[perm_arr[:, 0]]
+            audio_loc_m = audio_loc[perm_arr[:, 0]]
+            gt_m = gt[perm_arr[:, 1]]
+            reference_signal = np.repeat(mix[0:1], audio_m.shape[0], axis=0)
+
+            # SI-SDR of the localization-by-separation outputs
+            input_sisdr_old = [si_sdr(reference_signal[i], gt_m[i])
+                               for i in range(gt_m.shape[0])]
+            output_sisdr_old = [si_sdr(audio_loc_m[i], gt_m[i])
+                                for i in range(gt_m.shape[0])]
+            input_sdr, output_sdr, input_sisdr, output_sisdr = \
+                compute_metrics(reference_signal, audio_m, gt_m, permute=False)
+            match_ids = perm_arr.tolist()
+        else:
+            input_sdr = output_sdr = input_sisdr = output_sisdr = []
+            input_sisdr_old = output_sisdr_old = []
+            match_ids = perm
+
+        for s in range(gt_num_speakers):
+            save_data["gt"].append({
+                "sample": sample_offsets_gt[:, s].tolist(),
+                "pos": gt_speaker_positions[s, :].tolist(),
+            })
+
+        check_idx = list(range(len(patches)))
+        i = 0
+        for out_id, s in match_ids:
+            check_idx.remove(out_id)
+            shift_pred = np.asarray(est_offsets[out_id])
+            sample_gt = sample_offsets_gt[:, s]
+            pos_pred = est_positions[out_id]
+            pos_gt = gt_speaker_positions[s]
+
+            spk_pred = {
+                "voice_id": s,
+                "shifts": shift_pred.tolist(),
+                "pos": pos_pred.tolist(),
+                "sample_err": float(np.mean(abs(shift_pred - sample_gt))),
+                "dis_err": float(np.linalg.norm(pos_pred[:2] - pos_gt[:2])),
+                "si_snr_in_mir": float(input_sdr[i]),
+                "si_snri_mir": float(output_sdr[i] - input_sdr[i]),
+                "si_snr_in": float(input_sisdr[i]),
+                "si_snri": float(output_sisdr[i] - input_sisdr[i]),
+                "si_snr_in_old": float(input_sisdr_old[i]),
+                "si_snri_old": float(output_sisdr_old[i] - input_sisdr_old[i]),
+            }
+            save_data["pred"].append(spk_pred)
+            i += 1
+
+        for remain_id in check_idx:
+            save_data["false_positive"].append({
+                "pos": est_positions[remain_id].tolist(),
+                "sample": np.asarray(
+                    patches[remain_id][4]["audio_offset"]).tolist(),
+            })
+
+        if results_folder is not None:
+            os.makedirs(results_folder, exist_ok=True)
+            with open(os.path.join(results_folder,
+                                   f"result_{sample_no}.json"), "w") as f:
+                json.dump(save_data, f, indent=4)
+
+        print(f"False positive = {fp}; False negative = {fn}; "
+              f"True positive = {tp}")
+
+    tp, fp, fn = sum(all_tp), sum(all_fp), sum(all_fn)
+    print(f"Overall tp: {tp}, fp: {fp}, fn: {fn}")
+    if tp + fp > 0 and tp + fn > 0:
+        print(f"Overall Precision: {tp / (tp + fp)} Recall: {tp / (tp + fn)}")
+    return {"tp": tp, "fp": fp, "fn": fn}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("dataset", type=str)
+    parser.add_argument("--spot_experiment_dir", type=str, required=True)
+    parser.add_argument("--sep_experiment_dir", type=str, required=True)
+    parser.add_argument("--spot_batch_size", type=int, default=128)
+    parser.add_argument("--use_fp16", action="store_true")
+    parser.add_argument("--cached_init", action="store_true")
+    parser.add_argument("--results_folder", type=str, default=None)
+    args = parser.parse_args()
+
+    from .joint import JointPipeline
+
+    model = JointPipeline.from_experiments(
+        args.spot_experiment_dir, args.sep_experiment_dir,
+        spot_batch_size=args.spot_batch_size, use_bf16=args.use_fp16,
+    )
+    evaluate_dataset(model, args.dataset, results_folder=args.results_folder,
+                     cache_geometry=args.cached_init)
+
+
+if __name__ == "__main__":
+    main()

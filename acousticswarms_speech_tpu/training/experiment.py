@@ -1,0 +1,114 @@
+"""Experiment-directory handling: description.json + checkpoint resolution.
+
+Counterpart of /root/reference/sep/helpers/utils.py:165-215
+(`load_model_from_exp` with 'best' / 'last' / 'new' modes) keeping the
+reference's experiment-directory layout: `<exp>/description.json` plus
+`<exp>/checkpoints/` holding per-epoch weights and a state file.  Both our
+msgpack checkpoints and reference torch `.pt` checkpoints are accepted — the
+latter are converted on load (models/convert.py).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.factory import create_model
+from .checkpoints import find_checkpoints, load_params, load_state_summary
+
+
+def read_description(exp_dir: str) -> dict:
+    with open(os.path.join(exp_dir, "description.json"), "rb") as f:
+        return json.load(f)
+
+
+def _example_inputs(model_name: str, model_params: dict):
+    n_mics = model_params.get("n_mics", 7)
+    if model_name == "SpeakerLocalization":
+        return (jnp.zeros((1, n_mics, 256)), jnp.ones((1, 2)))
+    max_spk = model_params.get("max_speakers", 6)
+    return (jnp.zeros((1, n_mics * max_spk, 256)), jnp.asarray([1]))
+
+
+def build_from_description(exp_dir: str):
+    desc = read_description(exp_dir)
+    model = create_model(desc["model_name"], desc["model_params"])
+    return model, desc
+
+
+def init_params_for(model, model_name: str, model_params: dict, seed: int = 0):
+    from ..models.factory import init_model
+
+    return init_model(model, jax.random.PRNGKey(seed),
+                      _example_inputs(model_name, model_params))
+
+
+def load_model_from_exp(exp_dir: str, mode: str = "best"):
+    """Returns (model, params)."""
+    desc = read_description(exp_dir)
+    model_name = desc["model_name"]
+    exp_name = desc.get("experiment_name",
+                        os.path.basename(exp_dir.rstrip("/")))
+    ckpt_dir = os.path.join(
+        exp_dir, desc.get("experiment_name", "checkpoints")
+        if "experiment_name" in desc else "checkpoints"
+    )
+    model = create_model(model_name, desc["model_params"])
+    template = init_params_for(model, model_name, desc["model_params"])
+
+    # Reference torch checkpoints present? Convert directly.
+    torch_ckpts = sorted(glob.glob(os.path.join(ckpt_dir, f"{exp_name}_*.pt")))
+    our_ckpts = find_checkpoints(ckpt_dir, exp_name)
+
+    if mode == "new" or (not torch_ckpts and not our_ckpts):
+        if mode != "new":
+            print("[WARNING] no checkpoint found, using fresh parameters")
+        return model, template
+
+    if our_ckpts:
+        state_path = os.path.join(ckpt_dir, "state.msgpack")
+        summary = load_state_summary(state_path) if mode == "best" else None
+        if summary is not None and summary["val_losses"]:
+            best_epoch = int(np.argmin(summary["val_losses"]))
+            by_epoch = dict(our_ckpts)
+            path = by_epoch.get(best_epoch, our_ckpts[-1][1])
+        else:
+            path = our_ckpts[-1][1]
+        return model, load_params(path, template)
+
+    # torch fallback: pick the highest epoch
+    from ..models.convert import convert_state_dict, load_torch_checkpoint
+
+    path = max(torch_ckpts,
+               key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    sd = load_torch_checkpoint(path)
+    variables, unmatched = convert_state_dict(sd, model_name)
+    if unmatched:
+        print(f"[WARNING] {len(unmatched)} unmatched torch keys, e.g. "
+              f"{unmatched[:5]}")
+    merged = _merge_params(template, variables)
+    return model, merged
+
+
+def _merge_params(template, converted):
+    """Overlay converted params on the template (fills any gaps, validates
+    shapes)."""
+    def merge(t, c, path=""):
+        if isinstance(t, dict):
+            out = {}
+            for k in t:
+                if isinstance(c, dict) and k in c:
+                    out[k] = merge(t[k], c[k], f"{path}/{k}")
+                else:
+                    out[k] = t[k]
+            return out
+        arr = np.asarray(c)
+        assert arr.shape == t.shape, f"shape mismatch at {path}: " \
+                                     f"{arr.shape} vs {t.shape}"
+        return jnp.asarray(arr, dtype=t.dtype)
+
+    return merge(template, converted)

@@ -1,0 +1,259 @@
+"""Training driver: experiment-dir driven, resumable, plateau-scheduled.
+
+Counterpart of /root/reference/sep/training/train.py and the per-model
+train_epoch/test_epoch loops (SpeakerLocalization/train.py,
+SpeakerSeparation/train.py), rebuilt on optax:
+
+- description.json selects the model, loss, lr schedule and dataset params
+  (same schema as the reference's experiments/*/description.json)
+- one jitted train step: normalize -> forward -> unnormalize -> loss ->
+  global-norm clip -> adam update
+- per-epoch msgpack checkpoints with auto-resume from the latest epoch and
+  optional warm start from `pretrain_path`
+- ReduceLROnPlateau on the validation loss
+- deterministic seeding: per-epoch reseed for training, fixed VAL_SEED for
+  validation (reference train.py:24-30, 93-103)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.common import normalize_input, unnormalize_input
+from ..models.factory import create_model, init_model, param_count
+from ..utils.misc import seed_all
+from . import checkpoints as ckpt
+from .datasets import BatchLoader, LocalizationDataset, SeparationDataset
+from .experiment import read_description
+from .losses import get_loss_fn, neg_sdr
+from .schedulers import ReduceLROnPlateau
+
+VAL_SEED = 0
+
+DATASET_REGISTRY = {
+    "SpeakerLocalization": LocalizationDataset,
+    "SpeakerSeparation": SeparationDataset,
+}
+
+
+def make_step_fns(model, model_name: str, loss_name: str,
+                  gradient_clip: float):
+    loss_fn = get_loss_fn(loss_name)
+
+    def compute_loss(params, batch):
+        if model_name == "SpeakerLocalization":
+            data, gt, window = batch
+            normed, means, stds = normalize_input(data)
+            out = model.apply(params, normed, window)
+            out = unnormalize_input(out, means, stds)
+            return loss_fn(out, gt)
+        else:
+            data, gt, n_spk = batch
+            normed, means, stds = normalize_input(data)
+            out = model.apply(params, normed, n_spk)  # (B, S, T)
+            out = unnormalize_input(out, means, stds)
+            B, S, T = out.shape
+            return loss_fn(out.reshape(B * S, 1, T), gt.reshape(B * S, 1, T))
+
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    clipper = optax.clip_by_global_norm(gradient_clip)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(compute_loss)(params, batch)
+        grads, _ = clipper.update(grads, optax.EmptyState())
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        return compute_loss(params, batch)
+
+    return optimizer, train_step, eval_step
+
+
+def _sisdr_metrics(model, model_name, params, batch):
+    """Validation SI-SDR metrics on positive samples (reference
+    SpeakerLocalization/train.py:15-46)."""
+    if model_name == "SpeakerLocalization":
+        data, gt, window = batch
+        normed, means, stds = normalize_input(jnp.asarray(data))
+        out = unnormalize_input(model.apply(params, normed, jnp.asarray(window)),
+                                means, stds)
+        est, ref = np.asarray(out)[:, 0], gt[:, 0]
+        orig = data[:, 0]
+    else:
+        data, gt, n_spk = batch
+        normed, means, stds = normalize_input(jnp.asarray(data))
+        out = unnormalize_input(model.apply(params, normed, jnp.asarray(n_spk)),
+                                means, stds)
+        B, S, T = out.shape
+        est = np.asarray(out).reshape(B * S, T)
+        ref = gt.reshape(B * S, T)
+        orig = np.repeat(data[:, 0:1], S, axis=1).reshape(B * S, T)
+    mask = np.abs(ref).max(axis=1) > 0
+    metrics = []
+    for i in np.flatnonzero(mask):
+        in_sisdr = -float(neg_sdr(orig[None, i], ref[None, i], "sisdr"))
+        out_sisdr = -float(neg_sdr(est[None, i], ref[None, i], "sisdr"))
+        metrics.append({"input_si_sdr": in_sisdr, "si_sdr": out_sisdr})
+    return metrics
+
+
+def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
+          max_steps_per_epoch: int | None = None,
+          compute_val_metrics: bool = False):
+    seed_all(seed)
+    desc = read_description(experiment_dir)
+    model_name = desc["model_name"]
+    model_params = desc["model_params"]
+    training_params = desc["training_params"]
+    lr_sched_params = desc["lr_sched_params"]
+    sr = desc["sr"]
+
+    train_set_params = dict(desc["train_set_params"], sr=sr)
+    test_set_params = dict(desc["test_set_params"], sr=sr)
+
+    experiment_name = os.path.basename(experiment_dir.rstrip("/"))
+    checkpoints_dir = os.path.join(experiment_dir, "checkpoints")
+    os.makedirs(checkpoints_dir, exist_ok=True)
+
+    ds_cls = DATASET_REGISTRY[model_name]
+    data_train = ds_cls(dataset_type="train", **train_set_params)
+    data_test = ds_cls(dataset_type="test", **test_set_params)
+    train_loader = BatchLoader(data_train, training_params["batch_size"],
+                               shuffle=True, seed=seed)
+    test_loader = BatchLoader(data_test, training_params["batch_size"])
+
+    model = create_model(model_name, model_params)
+    params = init_model(model, jax.random.PRNGKey(seed),
+                        _example_inputs_for(model_name, model_params))
+    print(f"Model has {param_count(params) / 1e6:.02f}M parameters.")
+
+    optimizer, train_step, eval_step = make_step_fns(
+        model, model_name, training_params["loss"],
+        training_params["gradient_clip"],
+    )
+
+    # Resume / warm start (reference train.py:117-137)
+    latest = ckpt.latest_checkpoint(checkpoints_dir, experiment_name)
+    start_epoch = 0
+    if latest is not None:
+        start_epoch = latest[0] + 1
+        params = ckpt.load_params(latest[1], params)
+        print(f"Resumed from epoch {latest[0]}")
+    elif "pretrain_path" in training_params:
+        pre = training_params["pretrain_path"]
+        if pre.endswith(".pt"):
+            from ..models.convert import convert_state_dict, load_torch_checkpoint
+            from .experiment import _merge_params
+
+            variables, unmatched = convert_state_dict(
+                load_torch_checkpoint(pre), model_name
+            )
+            params = _merge_params(params, variables)
+        else:
+            params = ckpt.load_params(pre, params)
+        print(f"Warm start from {pre}")
+
+    lr = training_params["lr"]
+    opt_state = optimizer.init(params)
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+
+    scheduler = ReduceLROnPlateau(
+        lr_min=lr_sched_params["lr_min"], factor=lr_sched_params["factor"],
+        patience=lr_sched_params["patience"],
+        dont_halve_until_epoch=lr_sched_params["dont_halve_until_epoch"],
+    )
+    train_losses: list[float] = []
+    val_losses: list[float] = []
+
+    state_path = os.path.join(checkpoints_dir, "state.msgpack")
+    if os.path.exists(state_path) and latest is not None:
+        state = ckpt.load_state(state_path, opt_state)
+        opt_state = state["opt_state"]
+        scheduler.load_state_dict(state["scheduler"])
+        train_losses = list(np.asarray(state["train_losses"]))
+        val_losses = list(np.asarray(state["val_losses"]))
+        lr = float(state["lr"])
+
+    for epoch in range(start_epoch, training_params["epochs"]):
+        seed_all(seed + epoch)
+        print(f"\n{'=' * 25} STARTING EPOCH {epoch} {'=' * 25}\n")
+        t1 = time.time()
+        epoch_loss, n_batches = 0.0, 0
+        for batch_idx, batch in enumerate(train_loader):
+            if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+                break
+            batch = tuple(jnp.asarray(b) for b in batch)
+            params, opt_state, loss = train_step(params, opt_state, batch)
+            epoch_loss += float(loss)
+            n_batches += 1
+            if batch_idx % print_interval == 0:
+                print(f"Train Epoch {epoch} [{batch_idx}] "
+                      f"Loss: {float(loss):.6f}")
+        train_loss = epoch_loss / max(n_batches, 1)
+        print(f"Train epoch time: {time.time() - t1:.02f}s  "
+              f"loss {train_loss:.4f}")
+
+        # Validation with fixed seed (reference train.py:193-195)
+        seed_all(VAL_SEED)
+        test_loss, n_test = 0.0, 0
+        metrics = []
+        for batch_idx, batch in enumerate(test_loader):
+            if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+                break
+            jb = tuple(jnp.asarray(b) for b in batch)
+            test_loss += float(eval_step(params, jb))
+            n_test += 1
+            if compute_val_metrics:
+                metrics.extend(_sisdr_metrics(model, model_name, params, batch))
+        test_loss /= max(n_test, 1)
+        print(f"Test set: Average Loss: {test_loss:.4f}")
+        if metrics:
+            in_s = np.mean([m["input_si_sdr"] for m in metrics])
+            out_s = np.mean([m["si_sdr"] for m in metrics])
+            print(f"Average Input SI-SDR: {in_s:.03f}, Output: {out_s:.03f}, "
+                  f"SI-SDRi: {out_s - in_s:.03f}")
+
+        _, next_lr = scheduler(lr, epoch, test_loss)
+        if next_lr != lr:
+            print(f"NEXT learning rate: {next_lr:.08f}")
+        lr = next_lr
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+
+        train_losses.append(train_loss)
+        val_losses.append(test_loss)
+        ckpt.save_params(
+            os.path.join(checkpoints_dir,
+                         f"{experiment_name}_{epoch}.msgpack"), params)
+        ckpt.save_state(state_path, opt_state, scheduler.state_dict(),
+                        train_losses, val_losses, epoch, lr)
+        print(f"\n{'=' * 25} FINISHED EPOCH {epoch} {'=' * 25}\n")
+
+    return train_losses, val_losses
+
+
+def _example_inputs_for(model_name: str, model_params: dict):
+    n_mics = model_params.get("n_mics", 7)
+    if model_name == "SpeakerLocalization":
+        return (jnp.zeros((1, n_mics, 256)), jnp.ones((1, 2)))
+    max_spk = model_params.get("max_speakers", 6)
+    return (jnp.zeros((1, n_mics * max_spk, 256)), jnp.asarray([1]))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment_dir", type=str)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--print_interval", type=int, default=20)
+    args = parser.parse_args()
+    train(args.experiment_dir, seed=args.seed,
+          print_interval=args.print_interval)

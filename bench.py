@@ -1,0 +1,119 @@
+"""End-to-end benchmark: mixtures/sec/chip for the 7-mic pipeline.
+
+Measures the full localize-and-separate path (SRP-PHAT map -> coarse
+spotforming -> fine spotforming -> clustering -> separation) on a fixed
+synthetic 3 s, 5-speaker, 7-mic scene with full-size networks, excluding
+one-time geometry setup and compilation per the reference's own protocol
+(/root/reference/README.md:144).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "mixtures/s", "vs_baseline": r}
+
+vs_baseline compares against bench_baseline.json when present (the recorded
+reference-equivalent measurement); defaults to the raw value against 1.0.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURE = os.path.join(REPO, ".bench_fixture.npz")
+
+MIC_POS = np.array([
+    [3.0, 1.0, 0.02], [3.5, 1.3, 0.02], [3.5, 0.7, 0.02], [3.7, 1.0, 0.02],
+    [3.3, 1.5, 0.02], [3.3, 0.5, 0.02], [3.6, 1.15, 0.02],
+])
+SRC_POS = [
+    [4.8, 2.4, 0.4], [2.2, 3.4, 0.3], [5.4, 4.1, 0.5], [1.6, 1.9, 0.35],
+    [3.1, 4.6, 0.45],
+]
+ROI = [1.0, 6.2, 0.2, 5.4, 0.1, 0.62]
+DURATION_S = 3.0
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def build_fixture():
+    from acousticswarms_speech_tpu.constants import FS
+    from acousticswarms_speech_tpu.data.roomsim import ShoeBox
+
+    if os.path.exists(FIXTURE):
+        z = np.load(FIXTURE)
+        return z["mix"]
+    rng = np.random.default_rng(0)
+    T = int(DURATION_S * FS)
+    room = ShoeBox([7.0, 6.0, 2.3], fs=FS, max_order=6, absorption=0.6)
+    room.add_microphone_array(MIC_POS.T)
+    for p in SRC_POS:
+        x = rng.normal(size=T) * 0.25
+        env = np.clip(np.sin(2 * np.pi * rng.uniform(1, 3) * np.arange(T) / FS
+                             + rng.uniform(0, 6)), 0, None)
+        room.add_source(p, x * env)
+    mix = room.simulate(return_premix=True).sum(axis=0)[:, :T]
+    np.savez_compressed(FIXTURE, mix=mix.astype(np.float32))
+    return mix.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from acousticswarms_speech_tpu.models import SepNet, SpotNet, init_model
+    from acousticswarms_speech_tpu.pipeline.joint import JointPipeline
+
+    t_setup0 = time.time()
+    mix = build_fixture()
+
+    spot = SpotNet()  # full-size flagship configs
+    sep = SepNet(max_speakers=5)
+    spot_params = init_model(
+        spot, jax.random.PRNGKey(0), (jnp.zeros((1, 7, 256)), jnp.ones((1, 2)))
+    )
+    sep_params = init_model(
+        sep, jax.random.PRNGKey(1), (jnp.zeros((1, 35, 256)), jnp.asarray([2]))
+    )
+
+    batch = int(os.environ.get("BENCH_SPOT_BATCH", "64"))
+    use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
+    pipe = JointPipeline(spot, spot_params, sep, sep_params,
+                         spot_batch_size=batch, use_bf16=use_bf16)
+    pipe.setup(MIC_POS, ROI, cache_dir=os.path.join(REPO, ".bench_cache"))
+
+    # Warmup (compiles every program; excluded per reference protocol)
+    pipe.forward(mix)
+    setup_time = time.time() - t_setup0
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        patches, audio_loc, audio, _, _, spot_calls = pipe.forward(mix)
+        times.append(time.time() - t0)
+    elapsed = float(np.median(times))
+    value = 1.0 / elapsed
+
+    baseline_path = os.path.join(REPO, "bench_baseline.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = value / base["value"]
+
+    print(json.dumps({
+        "metric": "e2e_7mic_mixtures_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": "mixtures/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+    print(f"[bench] setup+warmup {setup_time:.1f}s; per-mixture {elapsed:.3f}s; "
+          f"stage times {['%.3f' % t for t in pipe.times]}; "
+          f"clusters {len(patches)}; spot calls {spot_calls}; "
+          f"batch {batch}; bf16 {use_bf16}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Eval driver, metrics, analyzer and checkpoint-converter tests."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from acousticswarms_speech_tpu.utils.bss_eval import bss_eval_sources
+from acousticswarms_speech_tpu.pipeline.evaluate import (
+    compute_metrics,
+    find_best_permutation,
+    preprocess_metadata,
+)
+
+
+def test_bss_eval_identity_and_mixture():
+    rng = np.random.default_rng(0)
+    s1 = rng.normal(size=20000)
+    s2 = rng.normal(size=20000)
+    ref = np.stack([s1, s2])
+
+    # perfect estimates -> very high SDR
+    sdr, sir, sar, perm = bss_eval_sources(ref, ref, compute_permutation=False)
+    assert np.all(sdr > 40)
+
+    # estimates contaminated with the other source -> finite, low SIR
+    est = np.stack([s1 + 0.5 * s2, s2 + 0.5 * s1])
+    sdr2, sir2, sar2, _ = bss_eval_sources(ref, est, compute_permutation=False)
+    assert np.all(sdr2 < sdr)
+    assert np.all(sir2 < 20)
+
+    # permutation recovery
+    sdr3, _, _, perm3 = bss_eval_sources(ref, ref[::-1],
+                                         compute_permutation=True)
+    assert list(perm3) == [1, 0]
+    assert np.all(sdr3 > 40)
+
+
+def test_find_best_permutation():
+    rng = np.random.default_rng(1)
+    gt = rng.normal(size=(2, 8000))
+    pos_gt = np.array([[1.0, 1.0, 0.3], [3.0, 2.0, 0.4]])
+    # predictions: swapped order, plus one false positive
+    pred = np.stack([gt[1] + 0.01 * rng.normal(size=8000),
+                     gt[0] + 0.01 * rng.normal(size=8000),
+                     rng.normal(size=8000)])
+    pos_pred = np.array([[3.1, 2.0, 0.4], [1.05, 1.0, 0.3], [5.0, 5.0, 0.3]])
+    perm = find_best_permutation(gt, pred, pos_gt, pos_pred)
+    assert sorted(perm) == [(0, 1), (1, 0)]
+
+
+def test_preprocess_metadata_offsets():
+    mics = {f"mic{i:02d}": {"position": [3.0 + 0.1 * i, 1.0, 0.02]}
+            for i in range(7)}
+    metadata = dict(mics)
+    metadata["voice00"] = {"position": [5.0, 2.0, 0.4]}
+    metadata["ROI"] = [1, 6, 0, 5, 0.1, 0.6]
+    out = preprocess_metadata(metadata)
+    mic_positions, sample_offsets_gt = out[1], out[4]
+    assert mic_positions.shape == (7, 3)
+    assert sample_offsets_gt.shape == (6, 1)
+    # mic06 is closer to the voice than mic00 -> negative offset
+    assert sample_offsets_gt[5, 0] < 0
+
+
+def test_convert_state_dict_loc_roundtrip():
+    """Build a synthetic torch-style state dict with reference names for a
+    tiny SpotNet config, convert, and run the flax model with it."""
+    import jax
+    import jax.numpy as jnp
+
+    from acousticswarms_speech_tpu.models import SpotNet
+    from acousticswarms_speech_tpu.models.convert import convert_state_dict
+
+    cfg = dict(n_mics=4, kernel_size=7, stride_list=(2, 2), channels=4,
+               growth=2, encoder_channels=8, encoder_kernel_size=33,
+               encoder_stride=16, residual_layers=2,
+               residual_dilation_factor=2, num_head=2, ffw_dim=8,
+               num_transformer_layers=1)
+    model = SpotNet(**cfg)
+    x = jnp.zeros((1, 4, 128))
+    w = jnp.ones((1, 2))
+    ref_params = model.init(jax.random.PRNGKey(0), x, w)
+
+    # flatten our params into reference torch names
+    def to_torch_names(tree):
+        rules = {
+            "preproc": "preproc", "reference_bypass": "reference_bypass",
+            "mask_encoder": "mask_encoder", "output_decoder": "output_decoder",
+        }
+        sd = {}
+
+        def walk(node, path):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, path + [k])
+                return
+            name = None
+            p = path
+            if p[0] in rules:
+                name = f"{rules[p[0]]}.{p[-1]}"
+            elif p[0].startswith("encoder_"):
+                i = p[0].split("_")[1]
+                if p[1] == "res":
+                    j = p[2].split("_")[1]
+                    name = f"encoder.module_list.{i}.res.seq.{j}.{p[3]}.{p[4]}"
+                else:
+                    name = f"encoder.module_list.{i}.{p[1]}.{p[2]}"
+            elif p[0].startswith("decoder_"):
+                i = p[0].split("_")[1]
+                if p[1] == "res":
+                    j = p[2].split("_")[1]
+                    name = f"decoder.module_list.{i}.res.seq.{j}.{p[3]}.{p[4]}"
+                elif p[1] == "upsample_conv":
+                    name = f"decoder.module_list.{i}.upsample.conv.{p[2]}"
+                else:
+                    name = f"decoder.module_list.{i}.{p[1]}.{p[2]}"
+            elif p[0] == "bottleneck":
+                i = p[1].split("_")[1]
+                rest = ".".join(p[2:])
+                rest = rest.replace("out_proj.weight", "out_proj.weight") \
+                    if "out_proj" in rest else rest
+                name = f"bottleneck.transf.layers.{i}.{rest}"
+            assert name is not None, p
+            sd[name] = np.asarray(node)
+
+        walk(tree["params"], [])
+        return sd
+
+    sd = to_torch_names(ref_params)
+    converted, unmatched = convert_state_dict(sd, "SpeakerLocalization")
+    assert unmatched == [], unmatched
+
+    rng = np.random.default_rng(0)
+    xin = jnp.asarray(rng.normal(size=(1, 4, 128)).astype(np.float32))
+    y_ref = model.apply(ref_params, xin, w)
+    y_conv = model.apply(converted, xin, w)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_conv))
+
+
+def test_analyzer_reads_result_json(tmp_path):
+    from acousticswarms_speech_tpu.pipeline.analyze import analyze
+
+    result = {
+        "gt": [{"sample": [0] * 6, "pos": [1, 1, 0.3]},
+               {"sample": [0] * 6, "pos": [3, 2, 0.4]}],
+        "pred": [{
+            "voice_id": 0, "shifts": [0] * 6, "pos": [1.1, 1.0, 0.3],
+            "sample_err": 1.0, "dis_err": 0.1, "si_snr_in_mir": 0.0,
+            "si_snri_mir": 5.0, "si_snr_in": 0.0, "si_snri": 6.0,
+            "si_snr_in_old": 0.0, "si_snri_old": 4.0,
+        }],
+        "false_positive": [{"pos": [5, 5, 0.3], "sample": [0] * 6}],
+    }
+    with open(tmp_path / "result_00000.json", "w") as f:
+        json.dump(result, f)
+    out = analyze(str(tmp_path), verbose=False)
+    assert out["tp"] == 1 and out["fp"] == 1 and out["fn"] == 1
+    assert out["precision"] == 0.5 and out["recall"] == 0.5
+    assert out["loc_err_median"] == pytest.approx(0.1)
+    assert 2 in out["per_speaker_count"]

@@ -1,0 +1,187 @@
+"""Training-infrastructure tests on a tiny synthetic dataset fixture."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from acousticswarms_speech_tpu.constants import FS
+from acousticswarms_speech_tpu.utils import get_shift_vector, write_wav
+
+MIC = np.array([
+    [3.0, 1.0, 0.02], [3.5, 1.3, 0.02], [3.5, 0.7, 0.02], [3.7, 1.0, 0.02],
+    [3.3, 1.5, 0.02], [3.3, 0.5, 0.02], [3.6, 1.15, 0.02],
+])
+
+
+def _make_dataset(root, n_samples=3, T=12000, seed=0):
+    rng = np.random.default_rng(seed)
+    for i in range(n_samples):
+        d = os.path.join(root, f"{i:05d}")
+        os.makedirs(d, exist_ok=True)
+        metadata = {}
+        voices = [np.array([4.5, 2.0, 0.4]), np.array([2.0, 3.0, 0.3])]
+        gts = []
+        mix = np.zeros((7, T))
+        for vi, pos in enumerate(voices):
+            sig = rng.normal(size=T) * 0.1
+            shifts = get_shift_vector(pos, MIC, FS)
+            gt = np.zeros((7, T))
+            for m in range(7):
+                gt[m] = np.roll(sig, -int(shifts[m]))
+            mix += gt
+            gts.append(gt)
+            metadata[f"voice{vi:02d}"] = {
+                "position": pos.tolist(),
+                # reference stores shifts WITHOUT the leading reference-mic 0
+                "shifts": (-shifts[1:]).tolist(),
+                "speaker_id": f"spk{vi}",
+            }
+        for m in range(7):
+            metadata[f"mic{m:02d}"] = {"position": MIC[m].tolist()}
+            write_wav(os.path.join(d, f"mic{m:02d}_mixed.wav"), mix[m], FS)
+        for vi in range(len(voices)):
+            write_wav(os.path.join(d, f"mic00_voice{vi:02d}.wav"),
+                      gts[vi][0], FS)
+        metadata["ROI"] = [1.0, 6.0, 0.2, 5.0, 0.1, 0.6]
+        metadata["real"] = False
+        with open(os.path.join(d, "metadata.json"), "w") as f:
+            json.dump(metadata, f)
+        with open(os.path.join(d, "challeng_sample.json"), "w") as f:
+            json.dump({"negative_sample": [[30, -25, 40, 10, -12, 7]],
+                       "positive_sample": []}, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    return str(_make_dataset(str(root)))
+
+
+def test_localization_dataset_items(dataset_dir):
+    from acousticswarms_speech_tpu.training.datasets import LocalizationDataset
+
+    np.random.seed(0)
+    ds = LocalizationDataset("train", dataset_dir, n_mics=7,
+                             compression_prob=0, challenge_ratio=0.5)
+    assert len(ds) == 3
+    seen_pos = seen_neg = False
+    for trial in range(12):
+        x, gt, w = ds[trial % 3]
+        assert x.shape[0] == 7 and gt.shape[0] == 1
+        assert x.shape[1] == gt.shape[1]
+        assert w.shape == (2,) and w.sum() == 1
+        if (gt != 0).any():
+            seen_pos = True
+        else:
+            seen_neg = True
+    assert seen_pos and seen_neg
+
+
+def test_separation_dataset_items(dataset_dir):
+    from acousticswarms_speech_tpu.training.datasets import SeparationDataset
+
+    np.random.seed(0)
+    ds = SeparationDataset(dataset_dir, "train", n_mics=7, n_speakers=3,
+                           compression_prob=0)
+    x, gt, n = ds[0]
+    assert x.shape[0] == 21  # 3 speakers * 7 mics
+    assert gt.shape[0] == 3
+    assert 1 <= n <= 3
+
+
+def test_losses_match_reference_semantics():
+    import jax.numpy as jnp
+
+    from acousticswarms_speech_tpu.training.losses import (
+        composite_loss,
+        get_loss_fn,
+        neg_sdr,
+        sisdr_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(4, 1, 256)).astype(np.float32)
+    gt[1] = 0  # one negative sample
+    out = gt + 0.1 * rng.normal(size=gt.shape).astype(np.float32)
+
+    # neg_sdr of a perfect estimate is very negative (high SNR)
+    perfect = neg_sdr(jnp.asarray(gt[0]), jnp.asarray(gt[0]))
+    assert float(perfect[0]) < -60
+
+    l = float(composite_loss(jnp.asarray(out), jnp.asarray(gt), r=0.05))
+    assert np.isfinite(l)
+    # sisdr loss ignores the zero row
+    s = float(sisdr_loss(jnp.asarray(out), jnp.asarray(gt)))
+    assert np.isfinite(s) and s < 0  # estimates correlate with targets
+
+    for name in ["l1", "snr", "snr_w_scaled_neg", "fused", "sisdr"]:
+        fn = get_loss_fn(name)
+        assert np.isfinite(float(fn(jnp.asarray(out), jnp.asarray(gt))))
+
+
+def test_scheduler_plateau():
+    from acousticswarms_speech_tpu.training.schedulers import ReduceLROnPlateau
+
+    s = ReduceLROnPlateau(lr_min=1e-8, factor=0.5, patience=2,
+                          dont_halve_until_epoch=0)
+    lr = 1e-3
+    losses = [1.0, 0.9, 0.91, 0.92, 0.93]  # plateau after epoch 1
+    lrs = []
+    for e, loss in enumerate(losses):
+        _, lr = s(lr, e, loss)
+        lrs.append(lr)
+    assert lrs[-1] < 1e-3  # halved after patience exceeded
+
+
+@pytest.mark.slow
+def test_train_loop_runs_and_resumes(dataset_dir, tmp_path):
+    from acousticswarms_speech_tpu.training.train import train
+
+    exp_dir = str(tmp_path / "exp_tiny")
+    os.makedirs(exp_dir)
+    desc = {
+        "model_name": "SpeakerLocalization",
+        "sr": FS,
+        "model_params": {
+            "n_mics": 7, "channels": 4, "growth": 2, "encoder_channels": 16,
+            "stride_list": [4, 4, 4], "kernel_size": 7,
+            "residual_dilation_factor": 2, "residual_layers": 1,
+            "num_head": 2, "ffw_dim": 8, "num_transformer_layers": 1,
+        },
+        "lr_sched_params": {"lr_min": 1e-8, "factor": 0.5, "patience": 3,
+                             "dont_halve_until_epoch": 1},
+        "training_params": {"gradient_clip": 1, "epochs": 1, "lr": 3e-4,
+                             "batch_size": 2, "loss": "fused"},
+        "train_set_params": {"input_dir": dataset_dir, "n_mics": 7,
+                              "negatives": 0.3, "compression_prob": 0,
+                              "fixed_window_condition": -1,
+                              "challenge_ratio": 0.5},
+        "test_set_params": {"input_dir": dataset_dir, "n_mics": 7,
+                             "negatives": 0.3, "compression_prob": 0,
+                             "fixed_window_condition": -1,
+                             "challenge_ratio": 0.5},
+    }
+    with open(os.path.join(exp_dir, "description.json"), "w") as f:
+        json.dump(desc, f)
+
+    tl, vl = train(exp_dir, seed=0, max_steps_per_epoch=2)
+    assert len(tl) == 1 and np.isfinite(tl[0]) and np.isfinite(vl[0])
+    assert os.path.exists(os.path.join(exp_dir, "checkpoints",
+                                       "exp_tiny_0.msgpack"))
+
+    # Resume: bump epochs to 2 and train again — starts from epoch 1
+    desc["training_params"]["epochs"] = 2
+    with open(os.path.join(exp_dir, "description.json"), "w") as f:
+        json.dump(desc, f)
+    tl2, vl2 = train(exp_dir, seed=0, max_steps_per_epoch=2)
+    assert os.path.exists(os.path.join(exp_dir, "checkpoints",
+                                       "exp_tiny_1.msgpack"))
+    assert len(tl2) == 2  # history preserved across resume
+
+    # load_model_from_exp finds the best checkpoint
+    from acousticswarms_speech_tpu.training.experiment import load_model_from_exp
+
+    model, params = load_model_from_exp(exp_dir, mode="best")
+    assert params is not None
