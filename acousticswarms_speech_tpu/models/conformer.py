@@ -62,13 +62,14 @@ class RelPosMHAXL(nn.Module):
         bias_u = self.param("pos_bias_u", nn.initializers.zeros, (H, hd))
         bias_v = self.param("pos_bias_v", nn.initializers.zeros, (H, hd))
 
+        x = x.astype(qkv_w.dtype)
         qkv = x @ qkv_w.T + qkv_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
 
-        pe = jnp.asarray(rel_pos_encoding(T, E))        # (2T-1, E)
+        pe = jnp.asarray(rel_pos_encoding(T, E), dtype=qkv_w.dtype)  # (2T-1, E)
         r = (pe @ pos_w.T).reshape(2 * T - 1, H, hd)     # (2T-1, H, hd)
 
         q_u = (q + bias_u[None, None]).transpose(0, 2, 1, 3)  # (B, H, T, hd)
@@ -84,7 +85,7 @@ class RelPosMHAXL(nn.Module):
         idx = (T - 1) - (i - j)  # (T, T) in [0, 2T-2]
         bd = bd_full[:, :, i, idx]  # advanced-index gather -> (B, H, T, T)
         scores = (ac + bd) / math.sqrt(hd)
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, E)
         return Dense(E, E, name="out_proj")(out)

@@ -59,6 +59,7 @@ class Conv1d(nn.Module):
             _kaiming_uniform(fan_in),
             (self.out_channels, self.in_channels // self.groups, self.kernel_size),
         )
+        x = x.astype(w.dtype)  # heal f32/bf16 promotion from preceding ops
         y = lax.conv_general_dilated(
             x,
             w,
@@ -93,6 +94,7 @@ class ConvTranspose1d(nn.Module):
             _kaiming_uniform(fan_in),
             (self.in_channels, self.out_channels, self.kernel_size),
         )
+        x = x.astype(w.dtype)
         # conv_transpose(x, w) == conv(lhs_dilate(x, s), flip(w)^T)
         w_flip = jnp.flip(w, axis=2).transpose(1, 0, 2)  # (O, I, K)
         pad = self.kernel_size - 1 - self.padding
@@ -122,6 +124,7 @@ class Dense(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.param("weight", _kaiming_uniform(self.in_features),
                        (self.out_features, self.in_features))
+        x = x.astype(w.dtype)
         y = x @ w.T
         if self.use_bias:
             b = self.param("bias", _uniform_bound(1.0 / math.sqrt(self.in_features)),
@@ -143,12 +146,15 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         w = self.param("weight", nn.initializers.ones, (C,))
         b = self.param("bias", nn.initializers.zeros, (C,))
-        xg = x.reshape(B, g, C // g * T)
+        dtype = x.dtype
+        xg = x.astype(jnp.float32).reshape(B, g, C // g * T)
         mean = xg.mean(axis=2, keepdims=True)
         var = xg.var(axis=2, keepdims=True)
         xg = (xg - mean) * lax.rsqrt(var + self.eps)
         x = xg.reshape(B, C, T)
-        return x * w[None, :, None] + b[None, :, None]
+        out = x * w[None, :, None].astype(jnp.float32) \
+            + b[None, :, None].astype(jnp.float32)
+        return out.astype(dtype)
 
 
 class LayerNorm(nn.Module):
@@ -161,9 +167,13 @@ class LayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.param("weight", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        return (x - mean) * lax.rsqrt(var + self.eps) * w + b
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        out = (xf - mean) * lax.rsqrt(var + self.eps) * w.astype(jnp.float32) \
+            + b.astype(jnp.float32)
+        return out.astype(dtype)
 
 
 def glu(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
@@ -202,7 +212,7 @@ class MultiheadAttention(nn.Module):
                             preferred_element_type=jnp.float32) / math.sqrt(hd)
         if key_mask is not None:
             scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, E)
 

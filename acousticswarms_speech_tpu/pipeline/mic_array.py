@@ -32,7 +32,7 @@ from ..dsp.patch import Patch
 from ..search.clustering import clustering_nms, find_merge_center, weight_mean_pos
 from ..search.srp_pruning import SrpEngine
 from ..search.subdivide import binary_search_baseline, search_area
-from ..utils.metrics import max_avg_power, si_sdr
+from ..utils.metrics import si_sdr
 
 
 class MicArray:
@@ -146,8 +146,11 @@ class MicArray:
             total_patch.extend(patch_processed)
             patches_indexes.append(self.spotforming_times)
 
-        sep_data_total = spot_model.shift_and_sep(mix_data, total_patch,
-                                                  strict=1)
+        # One combined strict sweep over ALL small patches; waveforms stay on
+        # device — only per-candidate power scalars come back here.
+        sweep = spot_model.sweep(mix_data, total_patch, strict=1)
+        T = mix_data.shape[1]
+        min_trigger_power2 = self.min_trigger_power / (3 * 48000) * T
 
         # 2.2: per-big-patch processing
         for i in range(len(patches_indexes) - 1):
@@ -159,18 +162,12 @@ class MicArray:
                         big_label = k
                         break
 
-            sep_data = sep_data_total[patches_indexes[i]: patches_indexes[i + 1]]
-            patch_processed = total_patch[patches_indexes[i]: patches_indexes[i + 1]]
+            lo, hi = patches_indexes[i], patches_indexes[i + 1]
+            patch_processed = total_patch[lo:hi]
             init_area = init_area_total[i]
             big_patch_center = big_patch_center_total[i]
-
-            powers = []
-            powers2 = []
-            for j in range(len(patch_processed)):
-                sep_data[j, :] = sep_data[j, :] - np.mean(sep_data[j, :])
-                powers.append(float(np.sum(sep_data[j, :] ** 2)))
-                p2, _ = max_avg_power(sep_data[j, :])
-                powers2.append(p2)
+            powers = sweep.powers[lo:hi]
+            powers2 = sweep.powers_win[lo:hi]
 
             center = candidate_finished[i].center_pos()
             d = (np.linalg.norm(center - self.mic_positions[0])
@@ -178,23 +175,31 @@ class MicArray:
             if np.amax(powers2) < spot_power_threshold / (1 + d):
                 continue
 
+            # Candidates that can participate in clustering (the rest never
+            # need their waveforms on host)
+            passing = []
+            for j in range(len(patch_processed)):
+                d_id = np.linalg.norm(patch_processed[j].center_pos()
+                                      - self.mic_positions[0])
+                if (powers2[j] >= spot_power_threshold / (1 + d_id)
+                        and powers[j] >= min_trigger_power2):
+                    passing.append(j)
+            if not passing:
+                continue
+            audio = sweep.gather([lo + j for j in passing])
+            sep_data = {j: audio[lo + j] for j in passing}
+
             # SI-SDR greedy clustering within the big patch
-            sort_idx = np.argsort(-np.array(powers))
+            sort_idx = np.argsort(-np.asarray(powers))
             SI_SDR_THRESHOLD = -4
             clusters: dict[int, list[int]] = {}
-            min_trigger_power2 = (
-                self.min_trigger_power / (3 * 48000) * sep_data.shape[1]
-            )
             for _id in sort_idx:
-                unique = True
-                d_id = np.linalg.norm(patch_processed[_id].center_pos()
-                                      - self.mic_positions[0])
-                threshold = spot_power_threshold / (1 + d_id)
-                if powers2[_id] < threshold or powers[_id] < min_trigger_power2:
+                if _id not in sep_data:
                     continue
+                unique = True
                 for cluster_id in clusters:
                     head = clusters[cluster_id][0]
-                    if si_sdr(sep_data[_id, :], sep_data[head]) > SI_SDR_THRESHOLD:
+                    if si_sdr(sep_data[_id], sep_data[head]) > SI_SDR_THRESHOLD:
                         clusters[head].append(_id)
                         unique = False
                         break
@@ -214,8 +219,8 @@ class MicArray:
                     "audio_offset": patch_processed[cluster_id].sample_offset,
                     "localization_offset": offsets,
                 }
-                pair = (patch_center, sep_data[cluster_id, :],
-                        powers[cluster_id], f"{i}_{cluster_id}",
+                pair = (patch_center, sep_data[cluster_id],
+                        float(powers[cluster_id]), f"{i}_{cluster_id}",
                         save_offsets, big_label)
                 output_pair.append(pair)
 

@@ -19,7 +19,6 @@ from ..constants import (
     USE_RELATIVE_SPOT_POWER,
 )
 from ..dsp.patch import Patch
-from ..utils.metrics import max_avg_power
 from ..utils.shift import sample_offsets_for
 
 
@@ -134,21 +133,20 @@ def binary_search_baseline(mix_data: np.ndarray, spot_model, patch_list,
     """Coarse-stage filter: spotform every width-4 patch with the relaxed
     window, keep the (<= MAX_BIG_PATCH) patches whose distance-compensated
     windowed power clears SPOT_POWER_THRESHOLD1
-    (reference: local_utils_3d.py:339-388)."""
-    sep_data = spot_model.shift_and_sep(mix_data, patch_list, strict=0)
+    (reference: local_utils_3d.py:339-388).
 
-    powers = []
-    powers_win = []
+    TPU note: only the two power scalars per candidate leave the device —
+    the coarse stage never transfers waveforms (the reference copies every
+    spotformed waveform to host, JointModel/network.py:99)."""
+    sweep = spot_model.sweep(mix_data, patch_list, strict=0)
+    powers = list(sweep.powers)
+    powers_win = list(sweep.powers_win)
     powers_with_dis = []
-    for i in range(sep_data.shape[0]):
-        sep_data[i, :] = sep_data[i, :] - np.mean(sep_data[i, :])
-        powers.append(float(np.sum(sep_data[i, :] ** 2)))
-        p, _ = max_avg_power(sep_data[i, :])
-        powers_win.append(p)
+    for i in range(len(patch_list)):
         center = patch_list[i].center_pos()
         d = np.linalg.norm(center - mic_positions[0]) if center is not None and \
             center.shape[0] == 3 else 4.0
-        powers_with_dis.append(p * (d + 1))
+        powers_with_dis.append(powers_win[i] * (d + 1))
 
     sort_idx = np.argsort(-np.array(powers_win))
     max_power_with_dis = max(powers_with_dis)

@@ -36,6 +36,21 @@ from ..utils import (
 from ..utils.codec import OpusCodec
 
 
+def _load_mixture(curr_dir, mics) -> np.ndarray:
+    """Load all mixture channels of a sample, using the native parallel WAV
+    loader (runtime/native.py) when available."""
+    paths = [str(os.path.join(curr_dir, m)) + "_mixed.wav" for m in mics]
+    try:
+        from ..runtime import native
+
+        if native.available():
+            n0 = native.load_wav(paths[0])
+            return native.load_wavs(paths, len(n0))
+    except Exception:
+        pass
+    return np.concatenate([read_audio_file(p) for p in paths])
+
+
 class BaseDataset:
     def __init__(self, input_dir, dataset_type, sr, compression_prob,
                  max_white_noise_variance=1e-3, max_pink_noise_variance=5e-3):
@@ -247,10 +262,7 @@ class LocalizationDataset(BaseDataset):
         voices = [k for k in metadata if "voice" in k]
         mics = [k for k in metadata if "mic" in k]
 
-        mixture = np.concatenate([
-            read_audio_file(os.path.join(curr_dir, m) + "_mixed.wav", self.sr)
-            for m in mics
-        ])
+        mixture = _load_mixture(curr_dir, mics)
         target_shift = np.round(np.asarray(target_shift)).astype(np.int32)
         shifted_vector, shifts = shift_mixture_given_samples(mixture,
                                                              target_shift)
@@ -330,10 +342,7 @@ class SeparationDataset(BaseDataset):
 
         mics = [k for k in metadata if "mic" in k]
         mic_positions = np.array([metadata[k]["position"] for k in mics])
-        mixture = np.concatenate([
-            read_audio_file(os.path.join(curr_dir, m) + "_mixed.wav", self.sr)
-            for m in mics
-        ])
+        mixture = _load_mixture(curr_dir, mics)
 
         T = mixture.shape[1]
         shifted_vector = np.zeros((self.n_mics * self.n_speakers, T))

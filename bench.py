@@ -81,11 +81,18 @@ def main():
     use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
     pipe = JointPipeline(spot, spot_params, sep, sep_params,
                          spot_batch_size=batch, use_bf16=use_bf16)
+    print(f"[bench] models built at {time.time() - t_setup0:.1f}s",
+          file=sys.stderr, flush=True)
     pipe.setup(MIC_POS, ROI, cache_dir=os.path.join(REPO, ".bench_cache"))
+    print(f"[bench] geometry ready at {time.time() - t_setup0:.1f}s "
+          f"(G={pipe.mic_processor.geom.num_clusters})",
+          file=sys.stderr, flush=True)
 
     # Warmup (compiles every program; excluded per reference protocol)
     pipe.forward(mix)
     setup_time = time.time() - t_setup0
+    print(f"[bench] warmup done at {setup_time:.1f}s; stage times "
+          f"{['%.2f' % t for t in pipe.times]}", file=sys.stderr, flush=True)
 
     times = []
     for _ in range(REPEATS):
