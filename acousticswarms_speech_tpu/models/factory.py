@@ -58,10 +58,14 @@ def rescale_params(params, reference: float = 0.1):
 
 
 def init_model(model, rng, example_inputs, reference: float | None = 0.1):
-    """Initialize params and apply the reference's rescale transform."""
-    params = model.init(rng, *example_inputs)
+    """Initialize params and apply the reference's rescale transform.
+
+    Both steps run under one jit each: on remote-dispatch TPU runtimes,
+    eager per-param execution costs ~0.5 s of relay latency per op, which
+    for a ~400-parameter model turns a 2 s init into minutes."""
+    params = jax.jit(model.init)(rng, *example_inputs)
     if reference is not None:
-        params = rescale_params(params, reference)
+        params = jax.jit(lambda p: rescale_params(p, reference))(params)
     return params
 
 

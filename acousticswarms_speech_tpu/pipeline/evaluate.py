@@ -61,8 +61,9 @@ def find_best_permutation(wav_gt, wav_pred, pos_gt, pos_pred,
 
 
 def preprocess_metadata(metadata):
-    """(reference: eval_model.py:61-86)"""
-    mics = [f"mic{i:02d}" for i in range(7)]
+    """(reference: eval_model.py:61-86; generalized to any mic count —
+    the reference hardcodes 7)"""
+    mics = sorted(k for k in metadata if k.startswith("mic"))
     mic_positions = np.array([metadata[k]["position"] for k in mics])
     sources = [k for k in metadata if k.startswith("voice")]
     voice_positions = np.array(

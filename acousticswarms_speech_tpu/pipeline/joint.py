@@ -55,9 +55,21 @@ class JointPipeline:
                                       cache_dir=cache_dir, grid_size=grid_size)
         self.previous_config = current_config
 
-    def forward(self, mix_data: np.ndarray):
+    def forward(self, mix_data: np.ndarray, profile_dir: str | None = None):
         """mix_data: (M, T).  Returns (patches, audio_loc, audio, srp_drop,
-        stage1_drop, spot_times) like JointModel.forward (:142-149)."""
+        stage1_drop, spot_times) like JointModel.forward (:142-149).
+
+        `profile_dir` captures a jax.profiler trace of the whole forward
+        (first-class tracing replacing the reference's wall-clock prints,
+        SURVEY.md §5.1)."""
+        if profile_dir is not None:
+            import jax
+
+            with jax.profiler.trace(profile_dir):
+                return self._forward(mix_data)
+        return self._forward(mix_data)
+
+    def _forward(self, mix_data: np.ndarray):
         self.times = [0.0] * 5
         patches, audio_loc, srp_drop, stage1_drop, spot_times = \
             self.localize_by_separation(mix_data)
@@ -65,6 +77,17 @@ class JointPipeline:
         audio = self.separate_by_localization(mix_data, patches)
         self.times[4] = time.time() - t0
         return patches, audio_loc, audio, srp_drop, stage1_drop, spot_times
+
+    def stage_metrics(self) -> dict:
+        """Structured per-stage metrics (replaces the reference's prints)."""
+        return {
+            "time_srp_s": self.times[0],
+            "time_coarse_spotform_s": self.times[1],
+            "time_fine_spotform_s": self.times[2],
+            "time_clustering_s": self.times[3],
+            "time_separation_s": self.times[4],
+            "spotform_calls": getattr(self.spot_model, "calls", 0),
+        }
 
     __call__ = forward
 
@@ -112,3 +135,42 @@ class JointPipeline:
         if len(sample_lists) == 0:
             return None
         return self.sep_model.infer_sample(mix_data, sample_lists)
+
+    def forward_streaming(self, mix_data: np.ndarray, chunk_samples: int,
+                          merge_dist: float = 0.45):
+        """Long-form inference: process fixed-size chunks reusing the search
+        setup (the chunked-streaming mode the reference leaves as future work,
+        /root/reference/README.md:144), merging speakers across chunks by 2D
+        position.
+
+        Returns (tracks, per_chunk) where tracks is a list of
+        {"position", "offsets", "chunks": {chunk_idx: audio}} and per_chunk
+        holds each chunk's raw pipeline outputs."""
+        M, T = mix_data.shape
+        tracks: list[dict] = []
+        per_chunk = []
+        for ci, start in enumerate(range(0, T - chunk_samples + 1,
+                                         chunk_samples)):
+            chunk = mix_data[:, start : start + chunk_samples]
+            patches, audio_loc, audio, *_rest = self._forward(chunk)
+            per_chunk.append((patches, audio_loc, audio))
+            if len(patches) == 0:
+                continue
+            for k, pf in enumerate(patches):
+                pos = pf[0].center_pos()
+                wav = audio[k] if audio is not None and k < len(audio) \
+                    else audio_loc[k]
+                for tr in tracks:
+                    if np.linalg.norm(np.asarray(tr["position"][:2])
+                                      - pos[:2]) < merge_dist:
+                        tr["chunks"][ci] = wav
+                        tr["position"] = pos  # follow the latest estimate
+                        tr["offsets"] = pf[4]["localization_offset"]
+                        break
+                else:
+                    tracks.append({
+                        "position": pos,
+                        "offsets": pf[4]["localization_offset"],
+                        "chunks": {ci: wav},
+                    })
+        return tracks, per_chunk

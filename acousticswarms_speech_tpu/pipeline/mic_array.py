@@ -32,7 +32,6 @@ from ..dsp.patch import Patch
 from ..search.clustering import clustering_nms, find_merge_center, weight_mean_pos
 from ..search.srp_pruning import SrpEngine
 from ..search.subdivide import binary_search_baseline, search_area
-from ..utils.metrics import si_sdr
 
 
 class MicArray:
@@ -147,10 +146,15 @@ class MicArray:
             patches_indexes.append(self.spotforming_times)
 
         # One combined strict sweep over ALL small patches; waveforms stay on
-        # device — only per-candidate power scalars come back here.
-        sweep = spot_model.sweep(mix_data, total_patch, strict=1)
+        # device.  Selection uses power scalars; the greedy SI-SDR clustering
+        # uses the on-device pairwise SI-SDR matrix — no waveform transfer.
+        sweep = spot_model.sweep(mix_data, total_patch, strict=1,
+                                 with_similarity=True)
+        sim = sweep.sisdr_mat
         T = mix_data.shape[1]
         min_trigger_power2 = self.min_trigger_power / (3 * 48000) * T
+        head_indices: list[int] = []  # global candidate ids needing audio
+        pending: list[tuple] = []
 
         # 2.2: per-big-patch processing
         for i in range(len(patches_indexes) - 1):
@@ -175,31 +179,30 @@ class MicArray:
             if np.amax(powers2) < spot_power_threshold / (1 + d):
                 continue
 
-            # Candidates that can participate in clustering (the rest never
-            # need their waveforms on host)
-            passing = []
+            # Candidates that can participate in clustering
+            passing = set()
             for j in range(len(patch_processed)):
                 d_id = np.linalg.norm(patch_processed[j].center_pos()
                                       - self.mic_positions[0])
                 if (powers2[j] >= spot_power_threshold / (1 + d_id)
                         and powers[j] >= min_trigger_power2):
-                    passing.append(j)
+                    passing.add(j)
             if not passing:
                 continue
-            audio = sweep.gather([lo + j for j in passing])
-            sep_data = {j: audio[lo + j] for j in passing}
 
-            # SI-SDR greedy clustering within the big patch
+            # SI-SDR greedy clustering within the big patch, decided from
+            # the device-computed pairwise matrix (reference computes each
+            # si_sdr on host waveforms, Mic_Array.py:353)
             sort_idx = np.argsort(-np.asarray(powers))
             SI_SDR_THRESHOLD = -4
             clusters: dict[int, list[int]] = {}
             for _id in sort_idx:
-                if _id not in sep_data:
+                if _id not in passing:
                     continue
                 unique = True
                 for cluster_id in clusters:
                     head = clusters[cluster_id][0]
-                    if si_sdr(sep_data[_id], sep_data[head]) > SI_SDR_THRESHOLD:
+                    if sim[lo + _id, lo + head] > SI_SDR_THRESHOLD:
                         clusters[head].append(_id)
                         unique = False
                         break
@@ -208,7 +211,7 @@ class MicArray:
             if len(clusters) <= 0:
                 continue
 
-            # merge cluster members into a center patch
+            # merge cluster members into a center patch; audio fetched later
             for cluster_id in clusters:
                 position, offsets = weight_mean_pos(patch_processed, powers,
                                                     clusters[cluster_id])
@@ -219,11 +222,17 @@ class MicArray:
                     "audio_offset": patch_processed[cluster_id].sample_offset,
                     "localization_offset": offsets,
                 }
-                pair = (patch_center, sep_data[cluster_id],
-                        float(powers[cluster_id]), f"{i}_{cluster_id}",
-                        save_offsets, big_label)
-                output_pair.append(pair)
+                head_indices.append(lo + cluster_id)
+                pending.append((patch_center, float(powers[cluster_id]),
+                                f"{i}_{cluster_id}", save_offsets, big_label))
 
+        # One batched transfer for all cluster heads' waveforms
+        audio = sweep.gather(head_indices)
+        for gidx, (patch_center, power, tag, save_offsets, big_label) in zip(
+            head_indices, pending
+        ):
+            output_pair.append((patch_center, audio[gidx], power, tag,
+                                save_offsets, big_label))
         return output_pair
 
     # ----- stage 3 -------------------------------------------------------

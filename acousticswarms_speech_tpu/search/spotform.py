@@ -5,25 +5,35 @@ TPU-native counterpart of `DataParallelSpotModel.shift_and_sep`
 `SepNet.infer_sample` (/root/reference/sep/training/SpeakerSeparation/
 network.py:492-548).
 
-Design: one jit-compiled program per (batch, T) shape that fuses
-gather-roll -> 16-bit-quantize normalize -> network forward -> unnormalize ->
-mean-subtract -> power reductions.  Candidate selection consumes only two
-scalars per candidate; full waveforms stay device-resident and only the
-(few) threshold-passing candidates are ever copied to the host.  Candidate
-lists are padded to a fixed batch so every sweep reuses the same executable;
-the candidate axis is the natural sharding axis for multi-chip runs
-(see parallel/mesh.py).
+Design goals (driven by measured interconnect costs — D2H on the remote
+TPU runtime here is ~6 MB/s with ~0.5 s per-transfer latency):
+
+- ONE device dispatch per sweep: the candidate list is padded to a
+  128-multiple bucket and processed inside the program by `lax.map` over
+  fixed chunks, so arbitrarily many candidates cost one H2D (shift table)
+  and one D2H (power scalars).
+- The whole (K, T) output block stays in HBM.  Candidate selection reads
+  two scalars per candidate; pairwise clustering decisions use an on-device
+  SI-SDR matrix (ops/similarity.py — one MXU matmul); only final cluster
+  heads' waveforms are ever copied out, in a single batched transfer.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..constants import SPOT_BATCH
 from ..models.common import normalize_input, unnormalize_input
 from ..ops.power import candidate_powers
 from ..ops.shift import roll_channels_batch, roll_zero_fill_batch
+from ..ops.similarity import sisdr_matrix
+
+BUCKET = 128          # candidate-count granularity (one compile per bucket)
+MAP_CHUNK = 32        # candidates processed per lax.map step (VMEM bound)
 
 
 def _shift_matrix(patch_list, num_mic: int) -> np.ndarray:
@@ -35,68 +45,104 @@ def _shift_matrix(patch_list, num_mic: int) -> np.ndarray:
 
 
 class SweepResult:
-    """Device-resident sweep outputs with lazy host transfer."""
+    """Device-resident sweep outputs with lazy, batched host transfer."""
 
-    def __init__(self, chunks: list, batch_size: int, n: int,
-                 powers: np.ndarray, powers_win: np.ndarray):
-        self._chunks = chunks            # list of (B, T) device arrays
-        self._batch = batch_size
+    def __init__(self, device_out, n: int, powers: np.ndarray,
+                 powers_win: np.ndarray, sisdr_mat: np.ndarray | None = None):
+        self._out = device_out           # (K_pad, T) device array
         self.n = n
         self.powers = powers             # (n,) mean-subtracted total power
         self.powers_win = powers_win     # (n,) max sliding-window RMS
+        self.sisdr_mat = sisdr_mat       # (n, n) or None
 
     def gather(self, indices) -> dict[int, np.ndarray]:
-        """Fetch the centered waveforms of selected candidates."""
-        out = {}
-        for i in indices:
-            c, r = divmod(int(i), self._batch)
-            out[int(i)] = np.asarray(self._chunks[c][r])
-        return out
+        """Fetch selected centered waveforms in ONE device-to-host copy."""
+        indices = [int(i) for i in indices]
+        if not indices:
+            return {}
+        sel = np.asarray(jnp.take(self._out, jnp.asarray(indices), axis=0))
+        return {i: sel[k] for k, i in enumerate(indices)}
 
     def all_waveforms(self) -> np.ndarray:
-        full = np.concatenate([np.asarray(c) for c in self._chunks], axis=0)
-        return full[: self.n]
+        return np.asarray(self._out)[: self.n]
 
 
 class _BatchedSweep:
-    """Shared batching/padding driver for spotform-style executors."""
+    """Single-dispatch bucketed sweep driver shared by executors."""
 
-    def __init__(self, batch_size: int):
+    def __init__(self, batch_size: int = SPOT_BATCH):
+        # batch_size kept for API compatibility; the sweep uses MAP_CHUNK.
         self.batch_size = batch_size
         self.calls = 0
+        self._programs: dict = {}
 
-    def _run_batch(self, mix, shifts, onehot):
+    def _chunk_fn(self, mix, shifts_chunk, onehot):
+        """(MAP_CHUNK, M) shifts -> (out (MAP_CHUNK, T), total, win)."""
         raise NotImplementedError
 
-    def sweep(self, input_channels: np.ndarray, patch_list,
-              strict: int = 0) -> SweepResult:
+    def _build(self, k_pad: int, with_similarity: bool):
+        n_chunks = k_pad // MAP_CHUNK
+
+        @jax.jit
+        def run(mix, shifts_all, onehot, *extra):
+            chunks = shifts_all.reshape(n_chunks, MAP_CHUNK, -1)
+
+            def step(shift_chunk):
+                return self._chunk_fn(mix, shift_chunk, onehot, *extra)
+
+            outs, totals, wins = lax.map(step, chunks)
+            T = outs.shape[-1]
+            out = outs.reshape(k_pad, T)
+            totals = totals.reshape(k_pad)
+            wins = wins.reshape(k_pad)
+            if with_similarity:
+                sim = sisdr_matrix(out)
+                return out, totals, wins, sim
+            return out, totals, wins
+
+        return run
+
+    def sweep(self, input_channels: np.ndarray, patch_list, strict: int = 0,
+              with_similarity: bool = False) -> SweepResult:
         num_patches = len(patch_list)
         M, T = input_channels.shape
-        B = self.batch_size
         shifts = _shift_matrix(patch_list, M)
+        k_pad = max(BUCKET, ((num_patches + BUCKET - 1) // BUCKET) * BUCKET)
+        if k_pad > shifts.shape[0]:
+            shifts = np.concatenate(
+                [shifts, np.zeros((k_pad - num_patches, M), dtype=np.int32)]
+            )
         onehot = jnp.asarray([1.0, 0.0] if strict == 1 else [0.0, 1.0],
                              dtype=jnp.float32)
         mix = jnp.asarray(input_channels, dtype=jnp.float32)
 
-        chunks, totals, wins = [], [], []
-        for i in range(0, num_patches, B):
-            batch = shifts[i : i + B]
-            n = batch.shape[0]
-            if n < B:
-                batch = np.concatenate(
-                    [batch, np.zeros((B - n, M), dtype=np.int32)], axis=0
-                )
-            centered, total, win = self._run_batch(mix, jnp.asarray(batch),
-                                                   onehot)
-            chunks.append(centered)
-            totals.append(np.asarray(total)[:n])
-            wins.append(np.asarray(win)[:n])
+        key = (k_pad, with_similarity)
+        if key not in self._programs:
+            self._programs[key] = self._build(k_pad, with_similarity)
+        res = self._programs[key](mix, jnp.asarray(shifts), onehot,
+                                  *self._extra_args())
+        if with_similarity:
+            out, totals, wins, sim = res
+            # one fused D2H for all scalars + the similarity matrix
+            host = np.asarray(
+                jnp.concatenate([totals, wins, sim.reshape(-1)])
+            )
+            powers = host[:k_pad][:num_patches]
+            powers_win = host[k_pad : 2 * k_pad][:num_patches]
+            sim_np = host[2 * k_pad :].reshape(k_pad, k_pad)[
+                :num_patches, :num_patches
+            ]
+        else:
+            out, totals, wins = res
+            host = np.asarray(jnp.concatenate([totals, wins]))
+            powers = host[:k_pad][:num_patches]
+            powers_win = host[k_pad :][:num_patches]
+            sim_np = None
         self.calls += num_patches
-        return SweepResult(
-            chunks, B, num_patches,
-            np.concatenate(totals) if totals else np.zeros(0),
-            np.concatenate(wins) if wins else np.zeros(0),
-        )
+        return SweepResult(out, num_patches, powers, powers_win, sim_np)
+
+    def _extra_args(self):
+        return ()
 
     def shift_and_sep(self, input_channels: np.ndarray, patch_list,
                       strict: int = 0) -> np.ndarray:
@@ -117,25 +163,20 @@ class SpotformExecutor(_BatchedSweep):
             if use_bf16 else params
         )
 
-        @jax.jit
-        def _run(params, mix, shifts, window_onehot):
-            data = roll_channels_batch(mix, shifts)  # (B, M, T)
-            normed, means, stds = normalize_input(data)
-            if use_bf16:
-                normed = normed.astype(jnp.bfloat16)
-            B = shifts.shape[0]
-            w = jnp.broadcast_to(window_onehot[None, :], (B, 2)).astype(
-                normed.dtype
-            )
-            out = self.model.apply(params, normed, w)  # (B, 1, T)
-            out = out.astype(jnp.float32)
-            out = unnormalize_input(out, means, stds)[:, 0]
-            return candidate_powers(out)
+    def _extra_args(self):
+        return (self.params,)
 
-        self._jitted = _run
-
-    def _run_batch(self, mix, shifts, onehot):
-        return self._jitted(self.params, mix, shifts, onehot)
+    def _chunk_fn(self, mix, shifts, onehot, params):
+        data = roll_channels_batch(mix, shifts)  # (B, M, T)
+        normed, means, stds = normalize_input(data)
+        if self.use_bf16:
+            normed = normed.astype(jnp.bfloat16)
+        B = shifts.shape[0]
+        w = jnp.broadcast_to(onehot[None, :], (B, 2)).astype(normed.dtype)
+        out = self.model.apply(params, normed, w)  # (B, 1, T)
+        out = out.astype(jnp.float32)
+        out = unnormalize_input(out, means, stds)[:, 0]
+        return candidate_powers(out)
 
 
 class DelayAndSumExecutor(_BatchedSweep):
@@ -147,18 +188,9 @@ class DelayAndSumExecutor(_BatchedSweep):
     coherent gain only for sources inside the candidate hypercube.
     """
 
-    def __init__(self, batch_size: int = SPOT_BATCH):
-        super().__init__(batch_size)
-
-        @jax.jit
-        def _run(mix, shifts, onehot):
-            data = roll_channels_batch(mix, shifts)
-            return candidate_powers(data.mean(axis=1))
-
-        self._jitted = _run
-
-    def _run_batch(self, mix, shifts, onehot):
-        return self._jitted(mix, shifts, onehot)
+    def _chunk_fn(self, mix, shifts, onehot):
+        data = roll_channels_batch(mix, shifts)
+        return candidate_powers(data.mean(axis=1))
 
 
 class SeparationInference:

@@ -99,11 +99,28 @@ def split_wav(wav: np.ndarray, top_db: float = 18) -> list[list[int]]:
 
 def split_wise_sisdr(estimated_signal: np.ndarray, reference_signals: np.ndarray,
                      seg_index: list[list[int]]) -> list[float]:
-    """Per-segment SI-SDR (reference: eval_utils.py:73-82)."""
+    """Per-segment SI-SDR (reference: eval_utils.py:73-82).
+
+    Vectorized with prefix sums: every segment's dot products come from three
+    cumulative-sum arrays, so the cost is O(T + n_segments) instead of a
+    Python-level si_sdr call per segment (which dominates NMS time for many
+    candidates)."""
     assert len(seg_index) > 0
-    return [
-        si_sdr(estimated_signal[a:b], reference_signals[a:b]) for a, b in seg_index
-    ]
+    est = np.asarray(estimated_signal, dtype=np.float64)
+    ref = np.asarray(reference_signals, dtype=np.float64)
+    ce2 = np.concatenate([[0.0], np.cumsum(est * est)])
+    cr2 = np.concatenate([[0.0], np.cumsum(ref * ref)])
+    cer = np.concatenate([[0.0], np.cumsum(est * ref)])
+    segs = np.asarray(seg_index)
+    a, b = segs[:, 0], segs[:, 1]
+    Ree = ce2[b] - ce2[a]
+    Rss = cr2[b] - cr2[a]
+    dot = cer[b] - cer[a]
+    Sss = dot * dot / Rss
+    Snn = Ree - Sss + MIN_ERR
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = 10.0 * np.log10(np.maximum(Sss, 1e-300) / Snn)
+    return list(out)
 
 
 def max_avg_power(x: np.ndarray, window_size: int = 12000):

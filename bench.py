@@ -58,9 +58,24 @@ def build_fixture():
     return mix.astype(np.float32)
 
 
+def _enable_compilation_cache():
+    """Persist XLA compiles across runs — the remote-compile TPU runtime in
+    this environment takes minutes per program, so the cache is what makes
+    repeated bench runs cheap."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(REPO, ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compilation_cache()
 
     from acousticswarms_speech_tpu.models import SepNet, SpotNet, init_model
     from acousticswarms_speech_tpu.pipeline.joint import JointPipeline
