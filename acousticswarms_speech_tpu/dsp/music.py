@@ -18,15 +18,23 @@ from ..constants import FS, SPEED_OF_SOUND
 
 def grid_mode_vectors(grids: np.ndarray, mic_pos: np.ndarray,
                       freq_bins: np.ndarray, fs: int, nfft: int,
-                      c: float = SPEED_OF_SOUND) -> np.ndarray:
-    """Steering vectors exp(1j*omega*d/c): (K, M, G), mic z treated as 0
-    (same convention as SRP_Prunning.generate_mod_vector, :368-381)."""
+                      c: float = SPEED_OF_SOUND, sign: float = -1.0) -> np.ndarray:
+    """Steering vectors exp(sign * 1j*omega*d/c): (K, M, G), mic z treated
+    as 0 (geometry convention of SRP_Prunning.generate_mod_vector,
+    :368-381).
+
+    Note on `sign`: a source delayed by d/c appears in the STFT as
+    exp(-1j*omega*d/c), so the physically matched steering vector uses
+    sign=-1 (the default here).  The reference builds exp(+1j*...) — for its
+    SRP the sign cancels in the pair products, but for MUSIC's subspace
+    projection the +1j convention degrades localization markedly (verified
+    on synthetic delayed scenes); we default to the correct sign."""
     dx = grids[None, :, 0] - mic_pos[:, None, 0]
     dy = grids[None, :, 1] - mic_pos[:, None, 1]
     dz = grids[None, :, 2]
     dist = np.sqrt(dx ** 2 + dy ** 2 + dz ** 2) / c  # (M, G)
     omega = 2 * np.pi * fs * np.asarray(freq_bins) / nfft
-    return np.exp(1j * omega[:, None, None] * dist[None])
+    return np.exp(sign * 1j * omega[:, None, None] * dist[None])
 
 
 def _stft(x: np.ndarray, nfft: int, hop: int) -> np.ndarray:

@@ -20,11 +20,19 @@ def roll_channels(mix: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
     mix: (M, T); shifts: (M,) int32 — channel c rolls by +shifts[c]
     (same convention as torch.roll / roll_by_gather with `-shifts` gather).
     Returns (M, T).
+
+    TPU note: implemented as concat + per-row dynamic_slice (two contiguous
+    HBM copies) rather than an index gather — TPU gathers over the time axis
+    are orders of magnitude slower than sliced copies.
     """
     M, T = mix.shape
-    t = jnp.arange(T, dtype=jnp.int32)[None, :]
-    src = jnp.mod(t - shifts[:, None].astype(jnp.int32), T)
-    return jnp.take_along_axis(mix, src, axis=1)
+    doubled = jnp.concatenate([mix, mix], axis=1)  # (M, 2T)
+    starts = jnp.mod(-shifts.astype(jnp.int32), T)  # out[i] = x[(i - s) % T]
+
+    def one(row, start):
+        return jax.lax.dynamic_slice(row, (start,), (T,))
+
+    return jax.vmap(one)(doubled, starts)
 
 
 def roll_channels_batch(mix: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
