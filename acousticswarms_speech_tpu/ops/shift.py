@@ -21,18 +21,14 @@ def roll_channels(mix: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
     (same convention as torch.roll / roll_by_gather with `-shifts` gather).
     Returns (M, T).
 
-    TPU note: implemented as concat + per-row dynamic_slice (two contiguous
-    HBM copies) rather than an index gather — TPU gathers over the time axis
-    are orders of magnitude slower than sliced copies.
+    Implemented as a take_along_axis gather with precomputed modular
+    indices.  (A concat + vmapped-dynamic_slice variant was tried and
+    reverted: it compiles pathologically slowly on the axon TPU compiler.)
     """
     M, T = mix.shape
-    doubled = jnp.concatenate([mix, mix], axis=1)  # (M, 2T)
-    starts = jnp.mod(-shifts.astype(jnp.int32), T)  # out[i] = x[(i - s) % T]
-
-    def one(row, start):
-        return jax.lax.dynamic_slice(row, (start,), (T,))
-
-    return jax.vmap(one)(doubled, starts)
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    src = jnp.mod(t - shifts[:, None].astype(jnp.int32), T)
+    return jnp.take_along_axis(mix, src, axis=1)
 
 
 def roll_channels_batch(mix: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:

@@ -27,11 +27,20 @@ from ..utils.bss_eval import bss_eval_sources
 def find_best_permutation(wav_gt, wav_pred, pos_gt, pos_pred,
                           acceptable_range: float = 1,
                           accept_sisdr: float = -15):
-    """Exhaustive matching of predictions to GT by 2D distance + SI-SDR
-    (reference: eval_model.py:18-59)."""
+    """Matching of predictions to GT by 2D distance + SI-SDR
+    (reference: eval_model.py:18-59).
+
+    The reference enumerates all n! permutations, which hangs for n > ~8
+    (e.g. many false positives from an untrained model).  We keep the exact
+    exhaustive search for small n and switch to an optimal Hungarian
+    assignment above that: penalizing non-acceptable pairs with a large
+    constant maximizes the inlier count first, then minimizes the total
+    (hence mean) loss — the same objective."""
     num_gt = pos_gt.shape[0]
     num_pred = pos_pred.shape[0]
     n = max(num_gt, num_pred)
+    if n == 0:
+        return []
 
     neg_sisdr_matrix = np.ones((n, n)) * 10000
     dis_matrix = np.ones((n, n)) * 10000
@@ -40,24 +49,35 @@ def find_best_permutation(wav_gt, wav_pred, pos_gt, pos_pred,
             dis_matrix[i, j] = np.linalg.norm(pos_gt[i][:2] - pos_pred[j][:2])
             neg_sisdr_matrix[i, j] = -si_sdr(wav_pred[j], wav_gt[i])
 
-    best_perm, best_inliers, best_err = None, -1, 10000
-    for perm in itertools.permutations(range(n)):
-        curr_inliers = 0
-        loss_err = []
-        paired = []
-        for idx1, idx2 in enumerate(perm):
-            neg = neg_sisdr_matrix[idx1, idx2]
-            dis = dis_matrix[idx1, idx2]
-            if dis < acceptable_range and neg < -accept_sisdr:
-                curr_inliers += 1
-                loss_err.append(neg + dis)
-                paired.append((idx2, idx1))  # (output id, gt id)
-        curr_err = np.mean(loss_err) if loss_err else np.inf
-        if (curr_inliers > best_inliers) or (
-            curr_inliers == best_inliers and curr_err < best_err
-        ):
-            best_inliers, best_perm, best_err = curr_inliers, paired, curr_err
-    return best_perm
+    acceptable = (dis_matrix < acceptable_range) & \
+        (neg_sisdr_matrix < -accept_sisdr)
+    loss = neg_sisdr_matrix + dis_matrix
+
+    if n <= 7:
+        best_perm, best_inliers, best_err = None, -1, 10000
+        for perm in itertools.permutations(range(n)):
+            curr_inliers = 0
+            loss_err = []
+            paired = []
+            for idx1, idx2 in enumerate(perm):
+                if acceptable[idx1, idx2]:
+                    curr_inliers += 1
+                    loss_err.append(loss[idx1, idx2])
+                    paired.append((idx2, idx1))  # (output id, gt id)
+            curr_err = np.mean(loss_err) if loss_err else np.inf
+            if (curr_inliers > best_inliers) or (
+                curr_inliers == best_inliers and curr_err < best_err
+            ):
+                best_inliers, best_perm, best_err = curr_inliers, paired, curr_err
+        return best_perm
+
+    from scipy.optimize import linear_sum_assignment
+
+    BIG = 1e6
+    cost = np.where(acceptable, loss, BIG)
+    rows, cols = linear_sum_assignment(cost)
+    return [(int(j), int(i)) for i, j in zip(rows, cols)
+            if acceptable[i, j]]
 
 
 def preprocess_metadata(metadata):

@@ -249,11 +249,19 @@ def _example_inputs_for(model_name: str, model_params: dict):
     return (jnp.zeros((1, n_mics * max_spk, 256)), jnp.asarray([1]))
 
 
+def _enable_compilation_cache():
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("experiment_dir", type=str)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--print_interval", type=int, default=20)
     args = parser.parse_args()
+    _enable_compilation_cache()
     train(args.experiment_dir, seed=args.seed,
           print_interval=args.print_interval)

@@ -1,4 +1,6 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -53,6 +55,11 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.skipif(
+    os.environ.get("RUN_HEAVY") != "1",
+    reason="full-size flagship compile takes ~10 min on the 1-core CI CPU; "
+    "the driver compile-checks entry() separately",
+)
 def test_entry_compiles():
     import __graft_entry__
 
