@@ -139,13 +139,21 @@ def compute_metrics(input_signal, est_signal, gt, permute: bool = False):
 
 def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
                      cache_geometry: bool = False, grid_size: float = 0.05,
-                     sample_filter=None):
+                     sample_filter=None, shard_index: int = 0,
+                     num_shards: int = 1):
     """Run the pipeline over every sample dir; returns aggregate counters.
 
-    `model` is a JointPipeline (pipeline/joint.py)."""
+    `model` is a JointPipeline (pipeline/joint.py).
+
+    The eval workload is embarrassingly parallel across mixtures
+    (SURVEY.md §2.4): `shard_index`/`num_shards` split the sample list for
+    multi-host data-parallel sweeps; per-sample result JSONs merge by
+    concatenation and analyze.py aggregates them."""
     all_tp, all_fn, all_fp = [], [], []
 
-    for sample_no in list_top_level_directories(dataset_dir):
+    for k, sample_no in enumerate(list_top_level_directories(dataset_dir)):
+        if k % num_shards != shard_index:
+            continue
         if sample_filter is not None and not sample_filter(sample_no):
             continue
         curr = os.path.join(dataset_dir, sample_no)
@@ -275,6 +283,8 @@ def main():
     parser.add_argument("--use_fp16", action="store_true")
     parser.add_argument("--cached_init", action="store_true")
     parser.add_argument("--results_folder", type=str, default=None)
+    parser.add_argument("--shard_index", type=int, default=0)
+    parser.add_argument("--num_shards", type=int, default=1)
     args = parser.parse_args()
 
     from .joint import JointPipeline
@@ -284,7 +294,8 @@ def main():
         spot_batch_size=args.spot_batch_size, use_bf16=args.use_fp16,
     )
     evaluate_dataset(model, args.dataset, results_folder=args.results_folder,
-                     cache_geometry=args.cached_init)
+                     cache_geometry=args.cached_init,
+                     shard_index=args.shard_index, num_shards=args.num_shards)
 
 
 if __name__ == "__main__":

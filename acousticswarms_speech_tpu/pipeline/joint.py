@@ -102,8 +102,16 @@ class JointPipeline:
             return [], [], 0, 0, 0
 
         t0 = time.time()
+        # Dispatch the coarse sweep, then subdivide every candidate on the
+        # host while the device works (the coarse survivors are a subset, so
+        # their subdivisions are ready when stage 2 starts).
+        self.mic_processor.big_spotforming_times = len(patch_list)
+        coarse_sweep = self.spot_model.sweep(mix_data, patch_list, strict=0)
+        subdivided = {
+            id(p): self.mic_processor.subdivide_patch(p) for p in patch_list
+        }
         patch_list = self.mic_processor.spotform_big_patch(
-            mix_data, patch_list, self.spot_model
+            mix_data, patch_list, self.spot_model, sweep=coarse_sweep
         )
         self.times[1] = time.time() - t0
         if len(patch_list) <= 0:
@@ -111,7 +119,7 @@ class JointPipeline:
 
         t0 = time.time()
         output_pair = self.mic_processor.spotform_small_patch_parallel(
-            mix_data, patch_list, self.spot_model
+            mix_data, patch_list, self.spot_model, subdivided=subdivided
         )
         self.times[2] = time.time() - t0
         if len(output_pair) <= 0:

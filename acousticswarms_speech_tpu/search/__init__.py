@@ -1,0 +1,7 @@
+from .spotform import (
+    DelayAndSumExecutor,
+    SeparationInference,
+    SpotformExecutor,
+    SweepResult,
+)
+from .srp_pruning import SrpEngine

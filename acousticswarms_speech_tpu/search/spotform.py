@@ -45,15 +45,48 @@ def _shift_matrix(patch_list, num_mic: int) -> np.ndarray:
 
 
 class SweepResult:
-    """Device-resident sweep outputs with lazy, batched host transfer."""
+    """Device-resident sweep outputs with lazy, batched host transfer.
 
-    def __init__(self, device_out, n: int, powers: np.ndarray,
-                 powers_win: np.ndarray, sisdr_mat: np.ndarray | None = None):
+    Construction only dispatches device work; the first access to `powers` /
+    `powers_win` / `sisdr_mat` performs one fused D2H.  This lets callers
+    overlap host-side work (e.g. patch subdivision) with the device sweep.
+    """
+
+    def __init__(self, device_out, n: int, k_pad: int, totals, wins,
+                 sim=None):
         self._out = device_out           # (K_pad, T) device array
         self.n = n
-        self.powers = powers             # (n,) mean-subtracted total power
-        self.powers_win = powers_win     # (n,) max sliding-window RMS
-        self.sisdr_mat = sisdr_mat       # (n, n) or None
+        self._k_pad = k_pad
+        self._totals = totals            # (K_pad,) device
+        self._wins = wins
+        self._sim = sim                  # (K_pad, K_pad) device or None
+        self._fetched = None
+
+    def _fetch(self):
+        if self._fetched is None:
+            import jax.numpy as _jnp
+
+            parts = [self._totals, self._wins]
+            if self._sim is not None:
+                parts.append(self._sim.reshape(-1))
+            self._fetched = np.asarray(_jnp.concatenate(parts))
+        return self._fetched
+
+    @property
+    def powers(self) -> np.ndarray:
+        return self._fetch()[: self._k_pad][: self.n]
+
+    @property
+    def powers_win(self) -> np.ndarray:
+        return self._fetch()[self._k_pad : 2 * self._k_pad][: self.n]
+
+    @property
+    def sisdr_mat(self):
+        if self._sim is None:
+            return None
+        return self._fetch()[2 * self._k_pad :].reshape(
+            self._k_pad, self._k_pad
+        )[: self.n, : self.n]
 
     def gather(self, indices) -> dict[int, np.ndarray]:
         """Fetch selected centered waveforms in ONE device-to-host copy."""
@@ -121,25 +154,12 @@ class _BatchedSweep:
             self._programs[key] = self._build(k_pad, with_similarity)
         res = self._programs[key](mix, jnp.asarray(shifts), onehot,
                                   *self._extra_args())
+        self.calls += num_patches
         if with_similarity:
             out, totals, wins, sim = res
-            # one fused D2H for all scalars + the similarity matrix
-            host = np.asarray(
-                jnp.concatenate([totals, wins, sim.reshape(-1)])
-            )
-            powers = host[:k_pad][:num_patches]
-            powers_win = host[k_pad : 2 * k_pad][:num_patches]
-            sim_np = host[2 * k_pad :].reshape(k_pad, k_pad)[
-                :num_patches, :num_patches
-            ]
-        else:
-            out, totals, wins = res
-            host = np.asarray(jnp.concatenate([totals, wins]))
-            powers = host[:k_pad][:num_patches]
-            powers_win = host[k_pad :][:num_patches]
-            sim_np = None
-        self.calls += num_patches
-        return SweepResult(out, num_patches, powers, powers_win, sim_np)
+            return SweepResult(out, num_patches, k_pad, totals, wins, sim)
+        out, totals, wins = res
+        return SweepResult(out, num_patches, k_pad, totals, wins)
 
     def _extra_args(self):
         return ()

@@ -129,7 +129,7 @@ def binary_area_divide_width(patch: Patch, samples0: np.ndarray,
 
 
 def binary_search_baseline(mix_data: np.ndarray, spot_model, patch_list,
-                           mic_positions: np.ndarray):
+                           mic_positions: np.ndarray, sweep=None):
     """Coarse-stage filter: spotform every width-4 patch with the relaxed
     window, keep the (<= MAX_BIG_PATCH) patches whose distance-compensated
     windowed power clears SPOT_POWER_THRESHOLD1
@@ -138,7 +138,8 @@ def binary_search_baseline(mix_data: np.ndarray, spot_model, patch_list,
     TPU note: only the two power scalars per candidate leave the device —
     the coarse stage never transfers waveforms (the reference copies every
     spotformed waveform to host, JointModel/network.py:99)."""
-    sweep = spot_model.sweep(mix_data, patch_list, strict=0)
+    if sweep is None:
+        sweep = spot_model.sweep(mix_data, patch_list, strict=0)
     powers = list(sweep.powers)
     powers_win = list(sweep.powers_win)
     powers_with_dis = []

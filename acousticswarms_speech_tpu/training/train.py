@@ -184,6 +184,8 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         val_losses = list(np.asarray(state["val_losses"]))
         lr = float(state["lr"])
 
+    # Fault tolerance = per-epoch checkpoints + auto-resume (above); an
+    # interrupt mid-epoch loses at most that epoch (reference: train.py:233).
     for epoch in range(start_epoch, training_params["epochs"]):
         seed_all(seed + epoch)
         print(f"\n{'=' * 25} STARTING EPOCH {epoch} {'=' * 25}\n")
