@@ -240,8 +240,13 @@ class MicArray:
                 pending.append((patch_center, float(powers[cluster_id]),
                                 f"{i}_{cluster_id}", save_offsets, big_label))
 
-        # One batched transfer for all cluster heads' waveforms
+        # One batched transfer for all cluster heads' waveforms; keep the
+        # head-pair SI-SDR submatrix for the NMS stage (free — already on
+        # host from the sweep fetch).
         audio = sweep.gather(head_indices)
+        self._last_head_sim = (
+            sim[np.ix_(head_indices, head_indices)] if head_indices else None
+        )
         for gidx, (patch_center, power, tag, save_offsets, big_label) in zip(
             head_indices, pending
         ):
@@ -253,8 +258,12 @@ class MicArray:
     def clustering_new(self, output_pair, simple_pos=None, sample_gt=None):
         """Final NMS (reference: Mic_Array.py:399-500).  Returns
         (audio_final, patch_final, total spotforming count, wrong list)."""
+        pair_sisdr = getattr(self, "_last_head_sim", None)
+        if pair_sisdr is not None and pair_sisdr.shape[0] != len(output_pair):
+            pair_sisdr = None  # caller passed a different pair list
         audio_final, patch_final, wrong = clustering_nms(output_pair,
-                                                         sample_gt=sample_gt)
+                                                         sample_gt=sample_gt,
+                                                         pair_sisdr=pair_sisdr)
         return (audio_final, patch_final,
                 self.big_spotforming_times + self.spotforming_times, wrong)
 

@@ -82,15 +82,21 @@ def find_merge_center(merged_offsets, init_area, mic_positions, big_patch_center
     return patch_center
 
 
-def clustering_nms(output_pair, sample_gt=None, verbose: bool = False):
+def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
+                   pair_sisdr=None):
     """Final NMS over all fine-stage clusters (Mic_Array.Clustering_new,
     :399-500).
 
     output_pair entries: (patch_center, audio, power, id_str, offsets_dict,
     big_label).  Returns (audio_final, patch_final, wrong_spotforming).
+
+    `pair_sisdr`: optional (N, N) matrix of full-signal SI-SDR between
+    output_pair entries (in output_pair order) — supplied from the sweep's
+    device-computed matrix so the host skips N^2 passes over the waveforms.
     """
     SI_SDR_THRESHOLD = -1
-    candidates = sorted(output_pair, key=lambda x: -x[2])
+    order = sorted(range(len(output_pair)), key=lambda i: -output_pair[i][2])
+    candidates = [output_pair[i] for i in order]
     clusters: dict[int, list[int]] = {}
     wrong_spotforming = []
 
@@ -113,7 +119,10 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False):
             audio2 = candidates[head][1]
             center2 = candidates[head][0].center_pos()
 
-            similarity = si_sdr(audio1, audio2)
+            if pair_sisdr is not None:
+                similarity = pair_sisdr[order[_id], order[head]]
+            else:
+                similarity = si_sdr(audio1, audio2)
             sisdr_list = split_wise_sisdr(audio1, audio2, seg_win)
             sisnr_seg.append(sisdr_list)
 

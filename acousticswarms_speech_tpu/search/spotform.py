@@ -36,6 +36,14 @@ BUCKET = 128          # candidate-count granularity (one compile per bucket)
 MAP_CHUNK = 32        # candidates processed per lax.map step (VMEM bound)
 
 
+@jax.jit
+def _quantize_rows(x: jnp.ndarray):
+    """Per-row int16 quantization: returns (int16 rows, f32 scales)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-12) / 32767.0
+    q = jnp.clip(jnp.round(x / scale[:, None]), -32768, 32767).astype(jnp.int16)
+    return q, scale
+
+
 def _shift_matrix(patch_list, num_mic: int) -> np.ndarray:
     shifts = np.zeros((len(patch_list), num_mic), dtype=np.int32)
     for k, p in enumerate(patch_list):
@@ -88,12 +96,23 @@ class SweepResult:
             self._k_pad, self._k_pad
         )[: self.n, : self.n]
 
-    def gather(self, indices) -> dict[int, np.ndarray]:
-        """Fetch selected centered waveforms in ONE device-to-host copy."""
+    def gather(self, indices, quantize: bool = True) -> dict[int, np.ndarray]:
+        """Fetch selected centered waveforms in ONE device-to-host copy.
+
+        With `quantize` (default) rows are scaled to int16 on device and
+        dequantized here — halving transfer bytes at ~90 dB SNR, far above
+        any threshold the clustering/NMS stages operate at."""
         indices = [int(i) for i in indices]
         if not indices:
             return {}
-        sel = np.asarray(jnp.take(self._out, jnp.asarray(indices), axis=0))
+        rows = jnp.take(self._out, jnp.asarray(indices), axis=0)
+        if quantize:
+            q, scales = _quantize_rows(rows)
+            qh = np.asarray(q).astype(np.float32)
+            sh = np.asarray(scales)
+            sel = qh * sh[:, None]
+        else:
+            sel = np.asarray(rows)
         return {i: sel[k] for k, i in enumerate(indices)}
 
     def all_waveforms(self) -> np.ndarray:

@@ -9,6 +9,7 @@ from .misc import (
     write_json,
 )
 from .pink_noise import powerlaw_psd_gaussian
+from .denoise import denoise
 from .shift import (
     criterion,
     get_shift_vector,
