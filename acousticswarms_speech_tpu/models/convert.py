@@ -144,3 +144,37 @@ def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def main():
+    """CLI: convert a reference torch checkpoint to our msgpack format.
+
+    Usage: python -m acousticswarms_speech_tpu.models.convert \
+        <ckpt.pt> <model_name> <out.msgpack>
+    """
+    import argparse
+
+    import jax
+    from flax import serialization
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("torch_ckpt", type=str)
+    parser.add_argument("model_name", type=str,
+                        choices=["SpeakerLocalization", "SpeakerSeparation"])
+    parser.add_argument("out", type=str)
+    args = parser.parse_args()
+
+    sd = load_torch_checkpoint(args.torch_ckpt)
+    variables, unmatched = convert_state_dict(sd, args.model_name)
+    if unmatched:
+        print(f"[WARNING] {len(unmatched)} unmatched keys:")
+        for k in unmatched:
+            print("  ", k)
+    with open(args.out, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    n = sum(np.asarray(v).size for v in jax.tree_util.tree_leaves(variables))
+    print(f"wrote {args.out}: {n / 1e6:.2f}M parameters")
+
+
+if __name__ == "__main__":
+    main()

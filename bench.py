@@ -83,11 +83,28 @@ def main():
     t_setup0 = time.time()
     mix = build_fixture()
 
-    spot = SpotNet()  # full-size flagship configs
+    # Full-size flagship configs.  Trained spotforming weights (when a dev
+    # checkpoint exists) give representative candidate counts; otherwise the
+    # deterministic random init is used.
+    spot_exp = os.environ.get("BENCH_SPOT_EXP",
+                              os.path.join(REPO, "experiments",
+                                           "dev_localization"))
+    if os.path.isdir(os.path.join(spot_exp, "checkpoints")):
+        from acousticswarms_speech_tpu.training.experiment import (
+            load_model_from_exp,
+        )
+
+        spot, spot_params = load_model_from_exp(spot_exp, mode="best")
+        weights_src = spot_exp
+    else:
+        spot = SpotNet()
+        spot_params = init_model(
+            spot, jax.random.PRNGKey(0),
+            (jnp.zeros((1, 7, 256)), jnp.ones((1, 2))),
+        )
+        weights_src = "random-init"
+    print(f"[bench] spot weights: {weights_src}", file=sys.stderr)
     sep = SepNet(max_speakers=5)
-    spot_params = init_model(
-        spot, jax.random.PRNGKey(0), (jnp.zeros((1, 7, 256)), jnp.ones((1, 2)))
-    )
     sep_params = init_model(
         sep, jax.random.PRNGKey(1), (jnp.zeros((1, 35, 256)), jnp.asarray([2]))
     )
