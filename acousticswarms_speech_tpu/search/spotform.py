@@ -278,12 +278,19 @@ class SeparationInference:
 
     def infer_sample(self, input_channels: np.ndarray, sample_list) -> np.ndarray:
         """input_channels: (M, T); sample_list: list of (M-1,) offset vectors.
-        Returns (min(len(sample_list), max_speakers), T)."""
-        S_actual = min(len(sample_list), self.max_speakers)
-        S = self.max_speakers
+        Returns (len(sample_list), T).
+
+        The speaker axis is padded to the next `max_speakers` multiple (one
+        compiled program per bucket); the network is S-parametric and the
+        inter-speaker attention masks padded slots, matching the reference's
+        any-S `infer_sample` (SpeakerSeparation/network.py:496-548)."""
+        S_actual = len(sample_list)
+        S = max(self.max_speakers,
+                ((S_actual + self.max_speakers - 1) // self.max_speakers)
+                * self.max_speakers)
         M, T = input_channels.shape
         shifts = np.zeros((S, M), dtype=np.int32)
-        for k, off in enumerate(sample_list[:S]):
+        for k, off in enumerate(sample_list):
             shifts[k, 1:] = -np.round(np.asarray(off)).astype(np.int32)
         out = self._run(
             self.params,
