@@ -135,22 +135,41 @@ def srp_window_size(T: int) -> int:
     return 36000 if T >= 72000 else 24000
 
 
-class SrpMapComputer:
-    """Bundles the device-resident tables and jit entry for one geometry."""
+GRID_BUCKET = 2048  # G padded to a multiple -> one compile per (T, G-bucket)
 
-    def __init__(self, grids, mic_pos, freq_bins, fs, nfft, c=343.0):
+
+class SrpMapComputer:
+    """Bundles the device-resident tables and jit entry for one geometry.
+
+    The grid-cluster count G differs for every microphone configuration; the
+    steering tables are zero-padded to a G bucket so the compiled map
+    program is reused across rooms (a fresh remote compile per room would
+    dominate evaluation time)."""
+
+    def __init__(self, grids, mic_pos, freq_bins, fs, nfft, c=343.0,
+                 grid_bucket: int = GRID_BUCKET):
         self.nfft = nfft
         self.hop = nfft // 4
         self.freq_bins = np.asarray(freq_bins)
-        self.steer_re, self.steer_im = build_steering_table(
+        self.num_grids = len(grids)
+        steer_re, steer_im = build_steering_table(
             grids, mic_pos, self.freq_bins, fs, nfft, c
         )
+        g_pad = max(grid_bucket,
+                    ((self.num_grids + grid_bucket - 1) // grid_bucket)
+                    * grid_bucket)
+        pad = g_pad - self.num_grids
+        if pad:
+            steer_re = jnp.pad(steer_re, ((0, pad), (0, 0)))
+            steer_im = jnp.pad(steer_im, ((0, pad), (0, 0)))
+        self.steer_re, self.steer_im = steer_re, steer_im
         cos_b, sin_b = dft_bases(nfft, self.freq_bins)
         self.cos_b = jnp.asarray(cos_b)
         self.sin_b = jnp.asarray(sin_b)
 
     def __call__(self, signal, window: int) -> jnp.ndarray:
-        return srp_phat_map(
+        full = srp_phat_map(
             jnp.asarray(signal), self.steer_re, self.steer_im,
             self.cos_b, self.sin_b, window, self.nfft, self.hop,
         )
+        return full[: self.num_grids]
