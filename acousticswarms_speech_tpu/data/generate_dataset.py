@@ -227,6 +227,16 @@ def get_voices(voices_list, n_voices, duration, sr):
         begin = max(begin - pad, 0)
         end = min(end + pad, len(voice))
         voice = voice[begin:end]
+        # Scale speaker peak into the FG_VOL range.  The reference defines
+        # FG_VOL_MIN/MAX ("Speaker signal peak value",
+        # generate_dataset.py:18-20) but never applies them; without scaling,
+        # quiet corpora yield mic signals below the pipeline's absolute power
+        # thresholds (constants.py SPOT_POWER_THRESHOLD*), so we implement
+        # the documented intent.
+        peak = np.max(np.abs(voice))
+        if peak > 1e-6:
+            voice = voice * (np.random.uniform(2 * FG_VOL_MIN, 2 * FG_VOL_MAX)
+                             / peak)
         if len(voice) < total:
             voice = np.pad(voice, (0, total - len(voice)))
         elif len(voice) > total:
