@@ -105,7 +105,12 @@ class SweepResult:
         indices = [int(i) for i in indices]
         if not indices:
             return {}
-        rows = jnp.take(self._out, jnp.asarray(indices), axis=0)
+        # pad the index list to a bucket so the gather program is reused
+        # across calls with different head counts
+        n = len(indices)
+        n_pad = ((n + 15) // 16) * 16
+        padded = indices + [indices[0]] * (n_pad - n)
+        rows = jnp.take(self._out, jnp.asarray(padded), axis=0)
         if quantize:
             q, scales = _quantize_rows(rows)
             qh = np.asarray(q).astype(np.float32)
