@@ -1,0 +1,45 @@
+"""SweepResult: lazy fetch, quantized gather accuracy, bucketing."""
+import numpy as np
+import jax.numpy as jnp
+
+from acousticswarms_speech_tpu.search.spotform import DelayAndSumExecutor
+
+
+def test_sweep_result_lazy_and_gather():
+    rng = np.random.default_rng(0)
+    mix = rng.normal(size=(4, 4000)).astype(np.float32) * 0.1
+    offs = [rng.integers(-30, 30, 3).astype(float) for _ in range(9)]
+    ex = DelayAndSumExecutor()
+    res = ex.sweep(mix, offs, strict=0, with_similarity=True)
+
+    assert res.n == 9
+    assert res.powers.shape == (9,)
+    assert res.powers_win.shape == (9,)
+    assert res.sisdr_mat.shape == (9, 9)
+    # diagonal of the similarity matrix is very high (self-similarity)
+    assert np.all(np.diag(res.sisdr_mat) > 50)
+
+    # quantized gather matches exact waveforms to int16 precision
+    exact = res.gather([0, 3, 8], quantize=False)
+    quant = res.gather([0, 3, 8], quantize=True)
+    for i in (0, 3, 8):
+        scale = np.abs(exact[i]).max() / 32767.0
+        np.testing.assert_allclose(quant[i], exact[i], atol=2 * scale + 1e-9)
+        # correlation essentially 1
+        c = np.corrcoef(quant[i], exact[i])[0, 1]
+        assert c > 0.999999
+
+    # all_waveforms returns exactly n rows
+    assert res.all_waveforms().shape == (9, 4000)
+
+
+def test_sweep_padding_consistency():
+    """Padded candidates must not affect real candidates' outputs."""
+    rng = np.random.default_rng(1)
+    mix = rng.normal(size=(4, 4000)).astype(np.float32) * 0.1
+    offs = [rng.integers(-30, 30, 3).astype(float) for _ in range(5)]
+    ex = DelayAndSumExecutor()
+    r5 = ex.sweep(mix, offs, strict=0)
+    r3 = ex.sweep(mix, offs[:3], strict=0)
+    np.testing.assert_allclose(r5.powers[:3], r3.powers, rtol=1e-6)
+    np.testing.assert_allclose(r5.powers_win[:3], r3.powers_win, rtol=1e-6)
