@@ -49,12 +49,12 @@ class TdoaGeometry:
     dis_matrix: np.ndarray       # (Lx, Ly) distance of each xy cell to array center
     array_border: np.ndarray     # [minx, miny, maxx, maxy] keepout box
 
-    # Fine grids used to materialize patch membership areas
-    # (SRP_Prunning.py:148-170): coarse 5 cm / fine 1 cm xy grids at 10 cm z.
+    # Coarse 5 cm grid used to bound patch membership areas
+    # (SRP_Prunning.py:148-155); the fine 1 cm grid is computed on demand per
+    # bounding box via `fine_block` (the reference precomputes the whole
+    # room, SRP_Prunning.py:156-170).
     pos5: np.ndarray             # (Ny5, Nx5, Nz, 3)
     off5: np.ndarray             # (Ny5, Nx5, Nz, M-1) float32
-    pos1: np.ndarray             # (Ny1, Nx1, Nz, 3)
-    off1: np.ndarray             # (Ny1, Nx1, Nz, M-1) float32
 
     @property
     def num_mic(self) -> int:
@@ -68,6 +68,21 @@ class TdoaGeometry:
     def axis_range(self):
         r = self.range_spk
         return [[r[0], r[1]], [r[2], r[3]], [r[4], r[5]]]
+
+    def fine_block(self, xi0: int, xi1: int, yi0: int, yi1: int):
+        """1 cm-grid positions and TDoA offsets for the index window
+        [yi0:yi1, xi0:xi1] of the room's fine grid — identical values to
+        cropping a precomputed whole-room grid."""
+        r = self.range_spk
+        xx = r[0] + 0.01 * np.arange(xi0, xi1)
+        yy = r[2] + 0.01 * np.arange(yi0, yi1)
+        zz = np.arange(r[4], r[5], 0.1)
+        X, Y, Z = np.meshgrid(xx, yy, zz)  # 'xy': (Ny, Nx, Nz)
+        pos = np.stack((X, Y, Z), axis=3).astype(np.float32)
+        off = _tdoa_field(pos.astype(np.float64), self.mic_pos).astype(
+            np.float32
+        )
+        return pos, off
 
 
 def _tdoa_field(pos: np.ndarray, mic_pos: np.ndarray, fs: int = FS,
@@ -172,7 +187,6 @@ def build_geometry(
     )
 
     pos5, off5 = _fine_grid(range_spk, 0.05, mic_pos)
-    pos1, off1 = _fine_grid(range_spk, 0.01, mic_pos)
 
     geom = TdoaGeometry(
         mic_pos=mic_pos, range_spk=range_spk, grid_size=grid_size,
@@ -180,7 +194,7 @@ def build_geometry(
         x_grids=x_grids, y_grids=y_grids, z_grids=z_grids, valid=valid,
         cluster_index=cluster_index.astype(np.int32),
         cluster_offsets=cluster_offsets, grids=grids, dis_matrix=dis_matrix,
-        array_border=border, pos5=pos5, off5=off5, pos1=pos1, off1=off1,
+        array_border=border, pos5=pos5, off5=off5,
     )
 
     if cache_path is not None:
@@ -190,7 +204,7 @@ def build_geometry(
             x_grids=x_grids, y_grids=y_grids, z_grids=z_grids, valid=valid,
             cluster_index=geom.cluster_index, cluster_offsets=cluster_offsets,
             grids=grids, dis_matrix=dis_matrix, array_border=border,
-            pos5=pos5, off5=off5, pos1=pos1, off1=off1,
+            pos5=pos5, off5=off5,
         )
     return geom
 
@@ -205,7 +219,7 @@ def _load_cache(path, mic_pos, range_spk, grid_size, grid_size_z,
         valid=z["valid"], cluster_index=z["cluster_index"],
         cluster_offsets=z["cluster_offsets"], grids=z["grids"],
         dis_matrix=z["dis_matrix"], array_border=z["array_border"],
-        pos5=z["pos5"], off5=z["off5"], pos1=z["pos1"], off1=z["off1"],
+        pos5=z["pos5"], off5=z["off5"],
     )
 
 

@@ -115,8 +115,11 @@ def hyperbola_area_init(geom, sample_offsets: np.ndarray, width: float):
     yi0 = int(np.floor((y_min - ar[1][0]) / 0.01))
     yi1 = int(np.ceil((y_max - ar[1][0]) / 0.01))
 
-    off1 = geom.off1[yi0:yi1, xi0:xi1]
-    pos1 = geom.pos1[yi0:yi1, xi0:xi1]
+    # 1 cm grid inside the bounding box only: the reference precomputes the
+    # whole-room 1 cm TDoA field up front (SRP_Prunning.py:156-170, ~10 s and
+    # tens of MB per room); computing the cropped block on demand gives the
+    # same points at a fraction of the setup cost.
+    pos1, off1 = geom.fine_block(xi0, xi1, yi0, yi1)
     in1 = np.all((off1 >= lo) & (off1 <= hi), axis=-1)
     pts = pos1[in1]
-    return pts.T if pts.shape[0] > 0 else pts.T
+    return pts.T
