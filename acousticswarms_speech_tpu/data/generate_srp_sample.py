@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from ..constants import FS, SPEED_OF_SOUND
+from ..constants import FS
 from ..pipeline.evaluate import get_items, preprocess_metadata
 from ..pipeline.mic_array import MicArray
 

@@ -15,7 +15,6 @@ candidate batch of the spotforming sweep.  Training shards the batch over
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

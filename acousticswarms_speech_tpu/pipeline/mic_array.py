@@ -21,7 +21,6 @@ from ..constants import (
     FREQ_BINS,
     FS,
     INIT_WIDTH,
-    MAX_NUM,
     N_FFT,
     SPEED_OF_SOUND,
     SPOT_POWER_THRESHOLD2,

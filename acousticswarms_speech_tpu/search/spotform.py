@@ -19,8 +19,6 @@ TPU runtime here is ~6 MB/s with ~0.5 s per-transfer latency):
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ import json
 import os
 import re
 
-import jax
 import numpy as np
 from flax import serialization
 
