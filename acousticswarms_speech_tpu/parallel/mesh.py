@@ -58,6 +58,37 @@ def shard_srp_map(mesh: Mesh, srp_fn):
                    out_shardings=out_shardings)
 
 
+def srp_time_sharded(mesh: Mesh, axis: str = "cand"):
+    """Sequence-parallel SRP: each device computes the steered-response map
+    of its own analysis-window range and the per-grid running max merges
+    with an ICI `pmax` — the collective mirror of the reference's
+    `torch.maximum` window merge (SRP_Prunning.py:430); see SURVEY.md §2.3.
+
+    Returns a function (per_device_signal, steer_re, steer_im, cos_b, sin_b,
+    window, nfft, hop) -> (G,) map, where `per_device_signal` is (D, M, Tw)
+    with one window-range slab per device along the leading axis.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops.srp import srp_phat_map
+
+    def build(window: int, nfft: int, hop: int):
+        def local(slab, sre, sim, cb, sb):
+            m = srp_phat_map(slab[0], sre, sim, cb, sb, window, nfft, hop)
+            return jax.lax.pmax(m, axis)
+
+        return jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None, None), P(), P(), P(), P()),
+            out_specs=P(),
+        ))
+
+    return build
+
+
 def shard_train_step(mesh: Mesh, train_step):
     """Data-parallel training step: batch axis over `data` x `cand`
     (flattened — every device takes a batch shard), params/opt replicated.
