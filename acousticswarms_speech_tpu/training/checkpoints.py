@@ -18,9 +18,20 @@ import numpy as np
 from flax import serialization
 
 
+def _to_host(tree):
+    """Fetch a pytree to host with overlapped per-leaf transfers.
+
+    flax serialization fetches leaves one by one; on a remote-dispatch TPU
+    runtime each fetch pays ~0.5 s latency, turning a 47M-param checkpoint
+    into minutes.  jax.device_get starts all copies asynchronously first."""
+    import jax
+
+    return jax.device_get(tree)
+
+
 def save_params(path: str, params) -> None:
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(params))
+        f.write(serialization.to_bytes(_to_host(params)))
 
 
 def load_params(path: str, template):
@@ -32,7 +43,7 @@ def save_state(path: str, opt_state, scheduler_state: dict,
                train_losses: list, val_losses: list, epoch: int,
                lr: float) -> None:
     state = {
-        "opt_state": opt_state,
+        "opt_state": _to_host(opt_state),
         "scheduler": scheduler_state,
         "train_losses": np.asarray(train_losses, dtype=np.float64),
         "val_losses": np.asarray(val_losses, dtype=np.float64),
