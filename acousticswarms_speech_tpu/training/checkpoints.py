@@ -29,9 +29,16 @@ def _to_host(tree):
     return jax.device_get(tree)
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write-then-rename so interrupted saves never leave truncated files."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_params(path: str, params) -> None:
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(_to_host(params)))
+    _atomic_write(path, serialization.to_bytes(_to_host(params)))
 
 
 def load_params(path: str, template):
@@ -50,8 +57,7 @@ def save_state(path: str, opt_state, scheduler_state: dict,
         "epoch": epoch,
         "lr": lr,
     }
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(state))
+    _atomic_write(path, serialization.to_bytes(state))
     # Sidecar JSON so readers (e.g. best-checkpoint selection) don't need an
     # optimizer-state template to deserialize the msgpack.
     with open(path + ".json", "w") as f:

@@ -177,12 +177,24 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
 
     state_path = os.path.join(checkpoints_dir, "state.msgpack")
     if os.path.exists(state_path) and latest is not None:
-        state = ckpt.load_state(state_path, opt_state)
-        opt_state = state["opt_state"]
-        scheduler.load_state_dict(state["scheduler"])
-        train_losses = list(np.asarray(state["train_losses"]))
-        val_losses = list(np.asarray(state["val_losses"]))
-        lr = float(state["lr"])
+        try:
+            state = ckpt.load_state(state_path, opt_state)
+            opt_state = state["opt_state"]
+            scheduler.load_state_dict(state["scheduler"])
+            train_losses = list(np.asarray(state["train_losses"]))
+            val_losses = list(np.asarray(state["val_losses"]))
+            lr = float(state["lr"])
+        except Exception as e:
+            # Corrupt/interrupted state: params resume from the epoch
+            # checkpoint, optimizer restarts fresh (losses from the sidecar).
+            print(f"[WARNING] could not load optimizer state ({e}); "
+                  "resuming with a fresh optimizer")
+            summary = ckpt.load_state_summary(state_path)
+            if summary:
+                train_losses = list(summary["train_losses"])
+                val_losses = list(summary["val_losses"])
+                lr = float(summary["lr"])
+                scheduler.load_state_dict(summary["scheduler"])
 
     # Fault tolerance = per-epoch checkpoints + auto-resume (above); an
     # interrupt mid-epoch loses at most that epoch (reference: train.py:233).
