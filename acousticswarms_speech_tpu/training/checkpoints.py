@@ -49,15 +49,16 @@ def load_params(path: str, template):
 def save_state(path: str, opt_state, scheduler_state: dict,
                train_losses: list, val_losses: list, epoch: int,
                lr: float) -> None:
-    state = {
-        "opt_state": _to_host(opt_state),
-        "scheduler": scheduler_state,
-        "train_losses": np.asarray(train_losses, dtype=np.float64),
-        "val_losses": np.asarray(val_losses, dtype=np.float64),
-        "epoch": epoch,
-        "lr": lr,
-    }
-    _atomic_write(path, serialization.to_bytes(state))
+    if opt_state is not None:
+        state = {
+            "opt_state": _to_host(opt_state),
+            "scheduler": scheduler_state,
+            "train_losses": np.asarray(train_losses, dtype=np.float64),
+            "val_losses": np.asarray(val_losses, dtype=np.float64),
+            "epoch": epoch,
+            "lr": lr,
+        }
+        _atomic_write(path, serialization.to_bytes(state))
     # Sidecar JSON so readers (e.g. best-checkpoint selection) don't need an
     # optimizer-state template to deserialize the msgpack.
     with open(path + ".json", "w") as f:

@@ -248,7 +248,15 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         ckpt.save_params(
             os.path.join(checkpoints_dir,
                          f"{experiment_name}_{epoch}.msgpack"), params)
-        ckpt.save_state(state_path, opt_state, scheduler.state_dict(),
+        # The optimizer state is 2x the model size; on a slow-interconnect
+        # runtime its per-epoch transfer dominates the epoch, so it is saved
+        # periodically (resume tolerates a fresh optimizer).  Loss histories
+        # and scheduler state stay per-epoch via the JSON sidecar.
+        save_opt = (epoch % int(os.environ.get("SWARM_OPT_STATE_EVERY", "5"))
+                    == 0) or epoch == training_params["epochs"] - 1
+        ckpt.save_state(state_path,
+                        opt_state if save_opt else None,
+                        scheduler.state_dict(),
                         train_losses, val_losses, epoch, lr)
         print(f"\n{'=' * 25} FINISHED EPOCH {epoch} {'=' * 25}\n")
 
