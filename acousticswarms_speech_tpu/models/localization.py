@@ -44,6 +44,7 @@ class SpotNet(nn.Module):
     num_head: int = 8
     ffw_dim: int = 1024
     num_transformer_layers: int = 2
+    remat: bool = False  # rematerialize U-Net blocks (training memory)
 
     @property
     def stride_product(self) -> int:
@@ -68,9 +69,11 @@ class SpotNet(nn.Module):
         depth = len(self.stride_list)
         enc_plan = encoder_channel_plan(self.channels, self.channels,
                                         self.growth, depth)
+        enc_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        dec_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
         skips = [x]
         for i, (c_in, c_out) in enumerate(enc_plan):
-            x = EncoderBlock(
+            x = enc_cls(
                 c_in, c_out, self.kernel_size, self.stride_list[i],
                 self.residual_layers, self.residual_dilation_factor,
                 use_window_embedding=True, name=f"encoder_{i}",
@@ -90,7 +93,7 @@ class SpotNet(nn.Module):
                                         self.growth, depth)
         for i, (c_in, c_out) in enumerate(dec_plan):
             skip = skips[-(i + 1)]
-            x = DecoderBlock(
+            x = dec_cls(
                 c_in, c_out, self.stride_list[depth - 1 - i], self.kernel_size,
                 self.residual_layers, self.residual_dilation_factor,
                 use_window_embedding=True, name=f"decoder_{i}",

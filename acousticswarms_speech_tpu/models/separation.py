@@ -50,6 +50,7 @@ class SepNet(nn.Module):
     bottleneck_layers: int = 3
     bottleneck_ksize: int = 31
     rescale: float = 0.1
+    remat: bool = False  # rematerialize U-Net blocks (training memory)
 
     @property
     def stride_product(self) -> int:
@@ -80,9 +81,11 @@ class SepNet(nn.Module):
         depth = len(self.stride_list)
         enc_plan = encoder_channel_plan(self.channels, self.channels,
                                         self.growth, depth)
+        enc_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        dec_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
         skips = [x]
         for i, (c_in, c_out) in enumerate(enc_plan):
-            x = EncoderBlock(
+            x = enc_cls(
                 c_in, c_out, self.kernel_size, self.stride_list[i],
                 self.residual_layers, self.residual_dilation_factor,
                 name=f"encoder_{i}",
@@ -118,7 +121,7 @@ class SepNet(nn.Module):
                                         self.growth, depth)
         for i, (c_in, c_out) in enumerate(dec_plan):
             skip = skips[-(i + 1)]
-            x = DecoderBlock(
+            x = dec_cls(
                 c_in, c_out, self.stride_list[depth - 1 - i], self.kernel_size,
                 self.residual_layers, self.residual_dilation_factor,
                 name=f"decoder_{i}",
