@@ -83,6 +83,9 @@ class SepNet(nn.Module):
                                         self.growth, depth)
         enc_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         dec_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
+        conf_cls = nn.remat(ConformerLayer) if self.remat else ConformerLayer
+        inter_cls = (nn.remat(TransformerEncoderLayer) if self.remat
+                     else TransformerEncoderLayer)
         skips = [x]
         for i, (c_in, c_out) in enumerate(enc_plan):
             x = enc_cls(
@@ -100,7 +103,7 @@ class SepNet(nn.Module):
         for l in range(self.bottleneck_layers):
             # intra: (B*S, C, Tb) -> (B*S, Tb, C) conformer over time
             y = x.transpose(0, 2, 1)
-            y = ConformerLayer(
+            y = conf_cls(
                 C, self.ffw_dim, self.num_head, self.bottleneck_ksize,
                 name=f"bottleneck_{l}_intra",
             )(y)
@@ -110,7 +113,7 @@ class SepNet(nn.Module):
             y = x.reshape(B, S, C, Tb).transpose(0, 3, 1, 2)  # (B, Tb, S, C)
             y = y.reshape(B * Tb, S, C)
             mask = jnp.repeat(spk_valid, Tb, axis=0)  # (B*Tb, S)
-            y = TransformerEncoderLayer(
+            y = inter_cls(
                 C, self.num_head, self.ffw_dim,
                 name=f"bottleneck_{l}_inter",
             )(y, mask)
