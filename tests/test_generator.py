@@ -1,0 +1,64 @@
+"""Dataset-generator scene sampling: desk placement, speaker keepout, ROI."""
+import numpy as np
+
+from acousticswarms_speech_tpu.data.generate_dataset import (
+    calculate_sample_offset,
+    colocated_array,
+    get_random_mic_positions_desk,
+    get_random_speaker_positions,
+    is_valid_mic_array,
+)
+
+
+def test_desk_mic_placement_valid():
+    np.random.seed(0)
+    for _ in range(10):
+        mic, desk, wall = get_random_mic_positions_desk(7, 0, 7.0, 0, 6.0)
+        assert mic.shape == (7, 3)
+        assert 0 <= wall < 4
+        assert is_valid_mic_array(mic[:, :2], 0, 7.0, 0, 6.0)
+        # robots expanded from the desk center: all within ~desk radius + dev
+        d = np.linalg.norm(mic[1:, :2] - mic[0, :2], axis=1)
+        assert np.all(d < max(desk) + 0.3)
+        # all at robot height
+        assert np.allclose(mic[:, 2], 0.02)
+
+
+def test_speaker_positions_respect_keepout():
+    np.random.seed(1)
+    mic, desk, wall = get_random_mic_positions_desk(7, 0, 7.0, 0, 6.0)
+    voices, offsets, roi = get_random_speaker_positions(
+        4, mic, wall, left=0, right=7.0, up=6.0, down=0
+    )
+    assert len(voices) == 4 and len(offsets) == 4
+    mnx, mny = mic[:, 0].min() - 0.25, mic[:, 1].min() - 0.25
+    mxx, mxy = mic[:, 0].max() + 0.25, mic[:, 1].max() + 0.25
+    for v in voices:
+        # outside the desk keepout box
+        inside = (mnx <= v[0] <= mxx) and (mny <= v[1] <= mxy)
+        assert not inside
+        # inside the ROI
+        assert roi[0] <= v[0] <= roi[1] and roi[2] <= v[1] <= roi[3]
+    # pairwise min distance
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert np.linalg.norm(np.asarray(voices[i]) - voices[j]) >= 0.51
+
+
+def test_offsets_match_shift_math():
+    from acousticswarms_speech_tpu.utils.shift import sample_offsets_for
+
+    np.random.seed(2)
+    mic, _, wall = get_random_mic_positions_desk(7, 0, 7.0, 0, 6.0)
+    pos = np.array([4.0, 3.0, 0.4])
+    off = calculate_sample_offset(mic, pos, 48000)
+    ref = sample_offsets_for(pos, mic, 48000)[0]
+    np.testing.assert_allclose(off, ref, atol=1e-9)
+
+
+def test_colocated_array_geometry():
+    np.random.seed(3)
+    arr = colocated_array(np.array([3.0, 3.0]), 7)
+    assert arr.shape == (7, 3)
+    r = np.linalg.norm(arr[:, :2] - np.array([3.0, 3.0]), axis=1)
+    np.testing.assert_allclose(r, 0.05, atol=1e-9)  # Echo-Dot radius
