@@ -79,6 +79,9 @@ class Patch:
                 return False, i
         return True, -1
 
+    # Reference-style alias (Patch_3D.py:89)
+    check_ready_Spotforming = check_ready_spotforming
+
 
 def hyperbola_area_sample(sample_list: np.ndarray, sample_offsets: np.ndarray,
                           width: float) -> np.ndarray:
