@@ -104,10 +104,23 @@ def main():
         )
         weights_src = "random-init"
     print(f"[bench] spot weights: {weights_src}", file=sys.stderr)
-    sep = SepNet(max_speakers=5)
-    sep_params = init_model(
-        sep, jax.random.PRNGKey(1), (jnp.zeros((1, 35, 256)), jnp.asarray([2]))
-    )
+    sep_exp = os.environ.get("BENCH_SEP_EXP",
+                             os.path.join(REPO, "experiments",
+                                          "dev_separation"))
+    if os.path.isdir(os.path.join(sep_exp, "checkpoints")):
+        from acousticswarms_speech_tpu.training.experiment import (
+            load_model_from_exp,
+        )
+
+        sep, sep_params = load_model_from_exp(sep_exp, mode="best")
+        print(f"[bench] sep weights: {sep_exp}", file=sys.stderr)
+    else:
+        sep = SepNet(max_speakers=5)
+        sep_params = init_model(
+            sep, jax.random.PRNGKey(1),
+            (jnp.zeros((1, 35, 256)), jnp.asarray([2])),
+        )
+        print("[bench] sep weights: random-init", file=sys.stderr)
 
     batch = int(os.environ.get("BENCH_SPOT_BATCH", "64"))
     use_bf16 = os.environ.get("BENCH_BF16", "1") == "1"
