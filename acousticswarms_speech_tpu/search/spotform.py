@@ -31,7 +31,11 @@ from ..ops.shift import roll_channels_batch, roll_zero_fill_batch
 from ..ops.similarity import sisdr_matrix
 
 BUCKET = 128          # candidate-count granularity (one compile per bucket)
-MAP_CHUNK = 32        # candidates processed per lax.map step (VMEM bound)
+MAP_CHUNK = 128       # candidates processed per lax.map step (HBM bound).
+                      # Measured on v5e (512-cand fine sweep, full SpotNet,
+                      # T=144000): chunk 32 -> 14.4 s, 64 -> 13.6 s,
+                      # 128 -> 12.4 s; larger chunks amortize per-step
+                      # overhead and keep the MXU fed.
 
 
 @jax.jit
