@@ -11,6 +11,14 @@ program instead of B HBM re-reads.
 Grid: (B,); program b writes the (M, T) shifted block for candidate b.
 Falls back to the XLA gather on non-TPU backends (interpret mode covers
 CPU testing).
+
+Status (measured, v5e via remote-compile runtime): the XLA gather roll is
+NOT a bottleneck — 5x (128, 7, 144000) rolls complete in sub-ms wall time,
+so the sweep's cost is entirely the network forward.  This kernel is
+numerically validated in interpret mode (exact match vs ops.shift), but the
+environment's remote TPU compiler currently rejects the dynamic
+`pltpu.roll` lowering (compile-helper HTTP 500); `roll_channels_batch_best`
+therefore keeps the XLA gather as the production path.
 """
 from __future__ import annotations
 
@@ -35,15 +43,15 @@ def pallas_roll_channels_batch(mix: jnp.ndarray, shifts: jnp.ndarray,
 
     def kernel(shift_ref, x_ref, out_ref):
         b = pl.program_id(0)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (M, T), 1)
-        s = jnp.zeros((M, 1), dtype=jnp.int32)
-        # build the per-channel shift column from SMEM scalars
+        # One hardware rotate per channel (M is small and static).  The
+        # scalar shift comes from SMEM; pltpu.roll supports dynamic shifts
+        # and lowers to the TPU lane-rotate, unlike gather/scatter which
+        # have no Pallas TPU lowering.
         for m in range(M):
             sm = shift_ref[b, m]
             sm = jnp.where(sm < 0, sm + T, sm)
-            s = s.at[m, 0].set(sm)
-        src = jnp.where(idx >= s, idx - s, idx - s + T)
-        out_ref[0] = jnp.take_along_axis(x_ref[:], src, axis=1)
+            row = x_ref[m : m + 1, :]
+            out_ref[0, m : m + 1, :] = pltpu.roll(row, sm, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -158,3 +158,26 @@ def test_srp_map_matches_naive():
     )
     want = naive_srp_map(signal, grids, mic_pos, freq_bins, fs, nfft, window)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_pallas_roll_matches_gather_interpret():
+    """The Pallas roll kernel (interpret mode) matches the XLA gather roll
+    exactly, including negative and zero shifts."""
+    import jax.numpy as jnp
+
+    from acousticswarms_speech_tpu.ops.pallas_shift import (
+        pallas_roll_channels_batch,
+    )
+    from acousticswarms_speech_tpu.ops.shift import roll_channels_batch
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(7, 1024)).astype(np.float32))
+    shifts = jnp.asarray(
+        np.concatenate([
+            rng.integers(-90, 90, (3, 7)),
+            np.zeros((1, 7)),
+        ]).astype(np.int32)
+    )
+    got = pallas_roll_channels_batch(x, shifts, interpret=True)
+    want = roll_channels_batch(x, shifts)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
