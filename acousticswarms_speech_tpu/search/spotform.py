@@ -140,11 +140,13 @@ class _BatchedSweep:
         raise NotImplementedError
 
     def _build(self, k_pad: int, with_similarity: bool):
-        n_chunks = k_pad // MAP_CHUNK
+        chunk = min(MAP_CHUNK, k_pad)
+        assert k_pad % chunk == 0, (k_pad, MAP_CHUNK)
+        n_chunks = k_pad // chunk
 
         @jax.jit
         def run(mix, shifts_all, onehot, *extra):
-            chunks = shifts_all.reshape(n_chunks, MAP_CHUNK, -1)
+            chunks = shifts_all.reshape(n_chunks, chunk, -1)
 
             def step(shift_chunk):
                 return self._chunk_fn(mix, shift_chunk, onehot, *extra)
