@@ -18,9 +18,24 @@ class Patch:
     def __init__(self, sample_offset, width_list, area_points, peak_pos=None):
         self.sample_offset = np.asarray(sample_offset, dtype=np.float64)
         self.width_list = np.array(width_list, dtype=np.float64, copy=True)
-        self.area_points = area_points  # (3, N) or None
+        self.area_points = area_points  # (3, N), None, or zero-arg callable
         self.num_pair = self.sample_offset.shape[0]
         self.peak_pos = peak_pos
+
+    @property
+    def area_points(self):
+        """Member 3D points (3, N).  May be a deferred thunk
+        (hyperbola_area_init_lazy) resolved on first access — the pipeline
+        creates patches during SRP pruning but only touches their points
+        during subdivision, which runs while the coarse sweep occupies the
+        device, so the ~0.1 s/patch 1 cm materialization overlaps compute."""
+        if callable(self._area_points):
+            self._area_points = self._area_points()
+        return self._area_points
+
+    @area_points.setter
+    def area_points(self, value):
+        self._area_points = value
 
     def area_size(self) -> int:
         if self.area_points is None or self.area_points.shape[1] == 0:
@@ -93,13 +108,17 @@ def hyperbola_area_sample(sample_list: np.ndarray, sample_offsets: np.ndarray,
     return z.astype(int)
 
 
-def hyperbola_area_init(geom, sample_offsets: np.ndarray, width: float):
-    """Materialize the member 3D points of a patch using the cached coarse
-    (5 cm) then fine (1 cm) grids (reference: SRP_Prunning.py:41-61).
+def hyperbola_area_init_lazy(geom, sample_offsets: np.ndarray, width: float):
+    """Screen a patch on the coarse 5 cm grid now; defer the 1 cm member-point
+    materialization to a thunk (reference: SRP_Prunning.py:41-61).
+
+    Returns None when the 5 cm pass is empty (the patch would be discarded),
+    else a zero-arg callable producing the (3, N) member points.  The split
+    lets SRP pruning finish ~0.1 s/patch sooner per patch; the thunk resolves
+    during subdivision, overlapped with the coarse device sweep.
 
     Note the reference uses a scalar width (the first pair's width + err
-    tolerance) for all pairs; we keep that contract.
-    Returns (3, N) points or None."""
+    tolerance) for all pairs; we keep that contract."""
     lo = sample_offsets - width / 2
     hi = sample_offsets + width / 2
 
@@ -108,21 +127,35 @@ def hyperbola_area_init(geom, sample_offsets: np.ndarray, width: float):
     if pts5.shape[0] == 0:
         return None
 
-    ar = geom.axis_range
-    x_min = max(ar[0][0], pts5[:, 0].min() - 0.05)
-    x_max = min(ar[0][1], pts5[:, 0].max() + 0.05)
-    y_min = max(ar[1][0], pts5[:, 1].min() - 0.05)
-    y_max = min(ar[1][1], pts5[:, 1].max() + 0.05)
-    xi0 = int(np.floor((x_min - ar[0][0]) / 0.01))
-    xi1 = int(np.ceil((x_max - ar[0][0]) / 0.01))
-    yi0 = int(np.floor((y_min - ar[1][0]) / 0.01))
-    yi1 = int(np.ceil((y_max - ar[1][0]) / 0.01))
+    def materialize():
+        ar = geom.axis_range
+        x_min = max(ar[0][0], pts5[:, 0].min() - 0.05)
+        x_max = min(ar[0][1], pts5[:, 0].max() + 0.05)
+        y_min = max(ar[1][0], pts5[:, 1].min() - 0.05)
+        y_max = min(ar[1][1], pts5[:, 1].max() + 0.05)
+        xi0 = int(np.floor((x_min - ar[0][0]) / 0.01))
+        xi1 = int(np.ceil((x_max - ar[0][0]) / 0.01))
+        yi0 = int(np.floor((y_min - ar[1][0]) / 0.01))
+        yi1 = int(np.ceil((y_max - ar[1][0]) / 0.01))
 
-    # 1 cm grid inside the bounding box only: the reference precomputes the
-    # whole-room 1 cm TDoA field up front (SRP_Prunning.py:156-170, ~10 s and
-    # tens of MB per room); computing the cropped block on demand gives the
-    # same points at a fraction of the setup cost.
-    pos1, off1 = geom.fine_block(xi0, xi1, yi0, yi1)
-    in1 = np.all((off1 >= lo) & (off1 <= hi), axis=-1)
-    pts = pos1[in1]
-    return pts.T
+        # 1 cm grid inside the bounding box only: the reference precomputes
+        # the whole-room 1 cm TDoA field up front (SRP_Prunning.py:156-170,
+        # ~10 s and tens of MB per room); computing the cropped block on
+        # demand gives the same points at a fraction of the setup cost.
+        pos1, off1 = geom.fine_block(xi0, xi1, yi0, yi1)
+        in1 = np.all((off1 >= lo) & (off1 <= hi), axis=-1)
+        pts = pos1[in1]
+        if pts.shape[0] == 0:
+            # Lattice-edge corner case: the 5 cm members sit exactly on the
+            # half-open fine-block boundary.  They are genuine member points
+            # (the 5 cm lattice is a subset of the 1 cm lattice), so use them.
+            return pts5.T.copy()
+        return pts.T
+
+    return materialize
+
+
+def hyperbola_area_init(geom, sample_offsets: np.ndarray, width: float):
+    """Eager variant of hyperbola_area_init_lazy: (3, N) points or None."""
+    thunk = hyperbola_area_init_lazy(geom, sample_offsets, width)
+    return None if thunk is None else thunk()

@@ -19,7 +19,8 @@ import numpy as np
 
 from ..constants import FREQ_BINS, FS, INIT_WIDTH, N_FFT
 from ..dsp.geometry import TdoaGeometry
-from ..dsp.patch import Patch, hyperbola_area_init, hyperbola_area_sample
+from ..dsp.patch import (Patch, hyperbola_area_init_lazy,
+                         hyperbola_area_sample)
 from ..ops.srp import SrpMapComputer, srp_window_size
 
 ERR_TOLERANCE = 0.2  # reference: SRP_Prunning.py:17
@@ -179,10 +180,13 @@ class SrpEngine:
 
             width_list_new = np.array(width_list_new, dtype=np.float64)
             sample_offset_new = np.array(sample_offset_new, dtype=np.float64)
-            init_area = hyperbola_area_init(
+            # Lazy: the 5 cm screen decides survival now; the ~0.1 s/patch
+            # 1 cm materialization resolves on first area_points access,
+            # which happens during subdivision while the coarse sweep runs.
+            init_area = hyperbola_area_init_lazy(
                 geom, sample_offset_new, width_list_new[0] + ERR_TOLERANCE
             )
-            if init_area is None or init_area.shape[-1] == 0:
+            if init_area is None:
                 continue
             patch_candidate.append(
                 Patch(sample_offset_new, width_list_new, init_area, candidate)
