@@ -168,7 +168,16 @@ class _BatchedSweep:
         num_patches = len(patch_list)
         M, T = input_channels.shape
         shifts = _shift_matrix(patch_list, M)
-        k_pad = max(BUCKET, ((num_patches + BUCKET - 1) // BUCKET) * BUCKET)
+        # Pad the candidate count to a bucket so one compiled program serves
+        # all mixtures.  Small buckets {32, 64} matter for the coarse stage:
+        # typical SRP pruning yields 10-30 big patches, and padding those to
+        # 128 wasted ~2 s of network forwards per mixture.
+        if num_patches <= 32:
+            k_pad = 32
+        elif num_patches <= 64:
+            k_pad = 64
+        else:
+            k_pad = ((num_patches + BUCKET - 1) // BUCKET) * BUCKET
         if k_pad > shifts.shape[0]:
             shifts = np.concatenate(
                 [shifts, np.zeros((k_pad - num_patches, M), dtype=np.int32)]
