@@ -43,3 +43,27 @@ def test_sweep_padding_consistency():
     r3 = ex.sweep(mix, offs[:3], strict=0)
     np.testing.assert_allclose(r5.powers[:3], r3.powers, rtol=1e-6)
     np.testing.assert_allclose(r5.powers_win[:3], r3.powers_win, rtol=1e-6)
+
+
+def test_sweep_bucket_ladder():
+    """Candidate counts pad to the bucket ladder {32, 64, 128k} and results
+    are identical across bucket sizes for the same candidates."""
+    from acousticswarms_speech_tpu.search import spotform as sf
+
+    rng = np.random.default_rng(2)
+    mix = rng.normal(size=(4, 4000)).astype(np.float32) * 0.1
+    offs = [rng.integers(-30, 30, 3).astype(float) for _ in range(70)]
+
+    ex = sf.DelayAndSumExecutor()
+    res_small = ex.sweep(mix, offs[:10], strict=0)
+    res_mid = ex.sweep(mix, offs[:40], strict=0)
+    res_large = ex.sweep(mix, offs, strict=0)
+    assert res_small._k_pad == 32
+    assert res_mid._k_pad == 64
+    assert res_large._k_pad == 128
+
+    # the same candidate evaluated under different bucket sizes agrees
+    np.testing.assert_allclose(res_small.powers, res_large.powers[:10],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(res_mid.powers_win, res_large.powers_win[:40],
+                               rtol=1e-5, atol=1e-7)
