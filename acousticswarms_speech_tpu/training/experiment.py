@@ -47,22 +47,35 @@ def init_params_for(model, model_name: str, model_params: dict, seed: int = 0):
                       _example_inputs(model_name, model_params))
 
 
-def load_model_from_exp(exp_dir: str, mode: str = "best"):
-    """Returns (model, params)."""
+def load_model_from_exp(exp_dir: str, mode: str = "best",
+                        strict_convert: bool = True):
+    """Returns (model, params).
+
+    Checkpoints always live in `<exp_dir>/checkpoints/` — the same place
+    train() writes them — regardless of any `experiment_name` key in the
+    description (that key only prefixes reference-style torch filenames,
+    /root/reference/sep/helpers/utils.py:171-178).
+    """
     desc = read_description(exp_dir)
     model_name = desc["model_name"]
-    exp_name = desc.get("experiment_name",
-                        os.path.basename(exp_dir.rstrip("/")))
-    ckpt_dir = os.path.join(
-        exp_dir, desc.get("experiment_name", "checkpoints")
-        if "experiment_name" in desc else "checkpoints"
-    )
+    # train() always names files after the directory basename; descriptions
+    # may additionally carry an `experiment_name` used by reference-style
+    # torch checkpoints — accept either prefix.
+    names = [os.path.basename(exp_dir.rstrip("/"))]
+    if desc.get("experiment_name") and desc["experiment_name"] not in names:
+        names.append(desc["experiment_name"])
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
     model = create_model(model_name, desc["model_params"])
     template = init_params_for(model, model_name, desc["model_params"])
 
     # Reference torch checkpoints present? Convert directly.
-    torch_ckpts = sorted(glob.glob(os.path.join(ckpt_dir, f"{exp_name}_*.pt")))
-    our_ckpts = find_checkpoints(ckpt_dir, exp_name)
+    torch_ckpts = sorted(
+        p for n in names
+        for p in glob.glob(os.path.join(ckpt_dir, f"{n}_*.pt"))
+    )
+    our_ckpts = next(
+        (c for n in names if (c := find_checkpoints(ckpt_dir, n))), []
+    )
 
     if mode == "new" or (not torch_ckpts and not our_ckpts):
         if mode != "new":
@@ -88,8 +101,12 @@ def load_model_from_exp(exp_dir: str, mode: str = "best"):
     sd = load_torch_checkpoint(path)
     variables, unmatched = convert_state_dict(sd, model_name)
     if unmatched:
-        print(f"[WARNING] {len(unmatched)} unmatched torch keys, e.g. "
-              f"{unmatched[:5]}")
+        msg = (f"{len(unmatched)} unmatched torch keys converting {path}, "
+               f"e.g. {unmatched[:5]} — the converted model would silently "
+               f"keep random values for those parameters")
+        if strict_convert:
+            raise ValueError(msg + " (pass strict_convert=False to override)")
+        print(f"[WARNING] {msg}")
     merged = _merge_params(template, variables)
     return model, merged
 

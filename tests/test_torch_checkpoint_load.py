@@ -78,3 +78,69 @@ def test_load_model_from_exp_torch_fallback(tmp_path):
     y_loaded = loaded_model.apply(loaded_params, xin, w)
     np.testing.assert_allclose(np.asarray(y_loaded), np.asarray(y_src),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_load_model_from_exp_with_experiment_name_key(tmp_path):
+    """Regression: a description.json that sets `experiment_name` must still
+    resolve checkpoints from `<exp>/checkpoints/` with the filenames train()
+    writes (basename-prefixed msgpack) — round-1 bug looked them up under
+    `<exp>/<experiment_name>/` instead."""
+    import jax
+    import jax.numpy as jnp
+    from acousticswarms_speech_tpu.training import checkpoints as ckpt
+    from acousticswarms_speech_tpu.training.experiment import (
+        load_model_from_exp,
+    )
+
+    exp = tmp_path / "myexp"
+    ckpts = exp / "checkpoints"
+    os.makedirs(ckpts)
+    desc = {
+        "model_name": "SpeakerLocalization",
+        "experiment_name": "published_name",  # differs from dir basename
+        "sr": 48000,
+        "model_params": CFG,
+        "lr_sched_params": {}, "training_params": {},
+        "train_set_params": {}, "test_set_params": {},
+    }
+    with open(exp / "description.json", "w") as f:
+        json.dump(desc, f)
+
+    model = SpotNet(**{**CFG, "stride_list": tuple(CFG["stride_list"])})
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 4, 128)),
+                        jnp.ones((1, 2)))
+    # train() writes with the directory-basename prefix
+    ckpt.save_params(str(ckpts / "myexp_2.msgpack"), params)
+
+    loaded_model, loaded = load_model_from_exp(str(exp), mode="last")
+    ref_leaf = np.asarray(
+        jax.tree_util.tree_leaves(params)[0])
+    got_leaf = np.asarray(jax.tree_util.tree_leaves(loaded)[0])
+    np.testing.assert_array_equal(got_leaf, ref_leaf)
+
+
+def test_load_model_from_exp_strict_unmatched_keys(tmp_path):
+    """Unmatched torch keys must be a hard error by default (silently keeping
+    random template values breaks quality claims downstream)."""
+    import pytest
+    from acousticswarms_speech_tpu.training.experiment import (
+        load_model_from_exp,
+    )
+
+    exp = tmp_path / "exp_bad"
+    ckpts = exp / "checkpoints"
+    os.makedirs(ckpts)
+    desc = {
+        "model_name": "SpeakerLocalization",
+        "sr": 48000,
+        "model_params": CFG,
+        "lr_sched_params": {}, "training_params": {},
+        "train_set_params": {}, "test_set_params": {},
+    }
+    with open(exp / "description.json", "w") as f:
+        json.dump(desc, f)
+    torch.save({"totally.bogus.key": torch.zeros(3)},
+               str(ckpts / "exp_bad_0.pt"))
+
+    with pytest.raises(ValueError, match="unmatched"):
+        load_model_from_exp(str(exp), mode="best")
