@@ -26,32 +26,38 @@ FDL = 81  # fractional delay filter length (matches pra's default)
 def _image_sources(src: np.ndarray, room: np.ndarray, max_order: int):
     """All image positions and wall-hit counts up to `max_order` reflections.
 
-    Returns (positions (N, 3), hits (N,))."""
+    Returns (positions (N, 3), hits (N,)).  Fully vectorized: the (p, r)
+    lattice is materialized with broadcasting instead of a Python loop (the
+    loop dominated dataset-generation time)."""
     dims = len(room)
-    # r component can contribute at least |r|+|r-p| >= 2|r|-1 hits
-    rng = range(-(max_order // 2 + 1), max_order // 2 + 2)
-    positions = []
-    hits = []
-    for p in itertools.product((0, 1), repeat=dims):
-        p_arr = np.array(p)
-        for r in itertools.product(rng, repeat=dims):
-            r_arr = np.array(r)
-            n_hits = int(np.sum(np.abs(r_arr - p_arr) + np.abs(r_arr)))
-            if n_hits > max_order:
-                continue
-            pos = (1 - 2 * p_arr) * src[:dims] + 2 * r_arr * room
-            positions.append(pos)
-            hits.append(n_hits)
-    return np.array(positions), np.array(hits)
+    src = np.asarray(src, dtype=np.float64)[:dims]
+    room = np.asarray(room, dtype=np.float64)
+    n = max_order // 2 + 1
+    ax = np.arange(-n, n + 1)
+    grids = np.meshgrid(*([ax] * dims), indexing="ij")
+    r = np.stack([g.ravel() for g in grids], axis=1)  # (R, dims)
+    ps = np.array(list(itertools.product((0, 1), repeat=dims)))  # (P, dims)
+    hits = (np.abs(r[None, :, :] - ps[:, None, :])
+            + np.abs(r)[None, :, :]).sum(-1)  # (P, R)
+    mask = hits <= max_order
+    pos = ((1 - 2 * ps)[:, None, :] * src[None, None, :]
+           + 2.0 * r[None, :, :] * room[None, None, :])  # (P, R, dims)
+    return pos[mask], hits[mask]
 
 
 def compute_rir(src: np.ndarray, mic: np.ndarray, room: np.ndarray,
                 absorption: float, max_order: int, fs: int,
-                c: float = 343.0) -> np.ndarray:
-    """Room impulse response from `src` to `mic` (1-D float array)."""
-    positions, hits = _image_sources(np.asarray(src, dtype=np.float64),
-                                     np.asarray(room, dtype=np.float64),
-                                     max_order)
+                c: float = 343.0, images=None) -> np.ndarray:
+    """Room impulse response from `src` to `mic` (1-D float array).
+
+    `images`: optional precomputed (positions, hits) from `_image_sources`
+    — they depend only on the source, so callers simulating many mics reuse
+    them."""
+    if images is None:
+        images = _image_sources(np.asarray(src, dtype=np.float64),
+                                np.asarray(room, dtype=np.float64),
+                                max_order)
+    positions, hits = images
     beta = np.sqrt(max(1.0 - absorption, 0.0))
     d = np.linalg.norm(positions - np.asarray(mic, dtype=np.float64), axis=1)
     d = np.maximum(d, 1e-3)
@@ -110,11 +116,12 @@ class ShoeBox:
 
         outs = []
         for src, sig in self.sources:
+            images = _image_sources(src, self.room, self.max_order)
             per_mic = []
             for m in range(M):
                 rir = compute_rir(src, self.mic_array[m], self.room,
                                   self.absorption, self.max_order, self.fs,
-                                  self.c)
+                                  self.c, images=images)
                 per_mic.append(fftconvolve(sig, rir))
             outs.append(per_mic)
 
