@@ -145,40 +145,96 @@ class JointPipeline:
         return self.sep_model.infer_sample(mix_data, sample_lists)
 
     def forward_streaming(self, mix_data: np.ndarray, chunk_samples: int,
-                          merge_dist: float = 0.45):
+                          merge_dist: float = 0.45, overlap: int = 0,
+                          max_offset_jump: int = 6):
         """Long-form inference: process fixed-size chunks reusing the search
         setup (the chunked-streaming mode the reference leaves as future work,
-        /root/reference/README.md:144), merging speakers across chunks by 2D
-        position.
+        /root/reference/README.md:144).
 
-        Returns (tracks, per_chunk) where tracks is a list of
-        {"position", "offsets", "chunks": {chunk_idx: audio}} and per_chunk
-        holds each chunk's raw pipeline outputs."""
+        - Chunks advance by `chunk_samples - overlap`; the final chunk is
+          aligned to the end of the stream so the tail is never dropped.
+        - Tracks merge across chunks when EITHER the 2D position moves less
+          than `merge_dist` OR every TDoA offset moves by at most
+          `max_offset_jump` samples (offset continuity is robust where two
+          speakers sit at similar ranges).
+        - Each track's chunk audio is assembled into one full-length
+          waveform with raised-cosine crossfades over the overlap regions
+          (fade-in/out where the speaker is absent in a neighbouring chunk).
+
+        Returns (tracks, per_chunk): tracks are dicts with "position",
+        "offsets", "chunks" {chunk_idx: audio} and the assembled "audio"
+        (T,); per_chunk holds each chunk's raw pipeline outputs."""
         M, T = mix_data.shape
+        hop = chunk_samples - overlap
+        assert hop > 0, "overlap must be smaller than chunk_samples"
+        starts = list(range(0, max(T - chunk_samples, 0) + 1, hop))
+        if starts[-1] + chunk_samples < T:
+            starts.append(T - chunk_samples)  # tail-aligned final chunk
+
         tracks: list[dict] = []
         per_chunk = []
-        for ci, start in enumerate(range(0, T - chunk_samples + 1,
-                                         chunk_samples)):
+        for ci, start in enumerate(starts):
             chunk = mix_data[:, start : start + chunk_samples]
+            if chunk.shape[1] < chunk_samples:  # stream shorter than a chunk
+                chunk = np.pad(chunk,
+                               ((0, 0), (0, chunk_samples - chunk.shape[1])))
             patches, audio_loc, audio, *_rest = self._forward(chunk)
             per_chunk.append((patches, audio_loc, audio))
             if len(patches) == 0:
                 continue
             for k, pf in enumerate(patches):
-                pos = pf[0].center_pos()
+                pos = np.asarray(pf[0].center_pos())
+                off = np.asarray(pf[4]["localization_offset"])
                 wav = audio[k] if audio is not None and k < len(audio) \
                     else audio_loc[k]
                 for tr in tracks:
-                    if np.linalg.norm(np.asarray(tr["position"][:2])
-                                      - pos[:2]) < merge_dist:
+                    d2 = np.linalg.norm(np.asarray(tr["position"][:2])
+                                        - pos[:2])
+                    prev = np.asarray(tr["offsets"])
+                    d_off = (np.max(np.abs(prev - off))
+                             if prev.shape == off.shape else np.inf)
+                    if (d2 < merge_dist or d_off <= max_offset_jump) \
+                            and ci not in tr["chunks"]:
                         tr["chunks"][ci] = wav
                         tr["position"] = pos  # follow the latest estimate
-                        tr["offsets"] = pf[4]["localization_offset"]
+                        tr["offsets"] = off
                         break
                 else:
                     tracks.append({
                         "position": pos,
-                        "offsets": pf[4]["localization_offset"],
+                        "offsets": off,
                         "chunks": {ci: wav},
                     })
+
+        for tr in tracks:
+            tr["audio"] = self._assemble_track(tr["chunks"], starts,
+                                               chunk_samples, overlap, T)
         return tracks, per_chunk
+
+    @staticmethod
+    def _assemble_track(chunks: dict, starts: list, chunk_samples: int,
+                        overlap: int, T: int) -> np.ndarray:
+        """Overlap-add chunk waveforms into one stream with raised-cosine
+        crossfades: complementary ramps sum to 1 where neighbouring chunks
+        both contain the speaker, and fade smoothly to silence where only
+        one does."""
+        out = np.zeros(T, dtype=np.float32)
+        wsum = np.zeros(T, dtype=np.float32)
+        last_ci = len(starts) - 1
+        for ci in sorted(chunks):
+            start = starts[ci]
+            n = min(chunk_samples, T - start)
+            w = np.ones(n, dtype=np.float32)
+            ramp = min(overlap, n // 2)
+            if ramp > 1:
+                r = 0.5 * (1.0 - np.cos(np.linspace(0.0, np.pi, ramp)))
+                if ci > 0:
+                    w[:ramp] *= r
+                if ci < last_ci:
+                    w[-ramp:] *= r[::-1]
+            wav = np.asarray(chunks[ci], dtype=np.float32)[:n]
+            out[start : start + n] += wav * w[: len(wav)]
+            wsum[start : start + n] += w
+        # tail-aligned final chunks overlap arbitrarily much with their
+        # predecessor; average where total weight exceeds 1
+        return out / np.maximum(wsum, 1.0)
