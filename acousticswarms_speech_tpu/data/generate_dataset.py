@@ -59,66 +59,51 @@ def is_valid_mic_array(array, left, right, bottom, top, threshold=0.06):
     ))
 
 
+# Three-desks variant: fixed (length, width) sampling ranges per desk size
+# (reference: generate_dataset.py:160-171)
+THREE_DESK_SIZES = (
+    ("large", (1.9, 2.0), (1.1, 1.2)),
+    ("middle", (1.4, 1.5), (0.8, 0.9)),
+    ("small", (1.0, 1.1), (0.5, 0.6)),
+)
+
+
+def _desk_expansion(n_mics, desk_length, desk_width):
+    """Desk-local robot coordinates: mic 0 at the desk center, the others
+    expanded toward the desk edges over a half-circle of headings with angle
+    and landing perturbations (reference: :176-244)."""
+    middle_angle = np.arctan(desk_length / 2 / desk_width)
+    angle_list = np.linspace(0, np.pi, n_mics - 1) - np.pi / 2
+    mic_positions = np.zeros((n_mics, 2))
+    for i in range(n_mics - 1):
+        move_angle = angle_list[i] + np.random.uniform(-THETA_MAX_DEV,
+                                                       THETA_MAX_DEV)
+        if -middle_angle < move_angle < middle_angle:
+            expand_r = desk_width / np.cos(move_angle)
+        elif move_angle > middle_angle:
+            expand_r = desk_length / 2 / np.sin(move_angle)
+        else:
+            expand_r = desk_length / 2 / np.sin(-move_angle)
+        expand_r -= 0.04  # robot backoff
+        mic_positions[i + 1] = [
+            expand_r * np.cos(move_angle)
+            + np.random.uniform(-EXPAND_MAX_DEV, EXPAND_MAX_DEV),
+            expand_r * np.sin(move_angle)
+            + np.random.uniform(-EXPAND_MAX_DEV, EXPAND_MAX_DEV),
+        ]
+    return mic_positions
+
+
 def get_random_mic_positions_desk(n_mics, left, right, bottom, top,
                                   dimensions=3):
     """Desk-edge robot expansion geometry (reference: :341-475)."""
     for _ in range(200):
         desk_length = np.random.uniform(DESK_LENGTH_MIN, DESK_LENGTH_MAX)
         desk_width = np.random.uniform(DESK_WIDTH_MIN, DESK_WIDTH_MAX)
-        middle_angle = np.arctan(desk_length / 2 / desk_width)
+        mic_positions = _desk_expansion(n_mics, desk_length, desk_width)
 
-        angle_list = np.linspace(0, np.pi, n_mics - 1) - np.pi / 2
-        mic_positions = np.zeros((n_mics, 2))
-        for i in range(n_mics - 1):
-            move_angle = angle_list[i] + np.random.uniform(-THETA_MAX_DEV,
-                                                           THETA_MAX_DEV)
-            if -middle_angle < move_angle < middle_angle:
-                expand_r = desk_width / np.cos(move_angle)
-            elif move_angle > middle_angle:
-                expand_r = desk_length / 2 / np.sin(move_angle)
-            else:
-                expand_r = desk_length / 2 / np.sin(-move_angle)
-            expand_r -= 0.04  # robot backoff
-            mic_positions[i + 1] = [
-                expand_r * np.cos(move_angle)
-                + np.random.uniform(-EXPAND_MAX_DEV, EXPAND_MAX_DEV),
-                expand_r * np.sin(move_angle)
-                + np.random.uniform(-EXPAND_MAX_DEV, EXPAND_MAX_DEV),
-            ]
-
-        pickup_wall = np.random.choice(4)
-        DESK_WALL_MIN_DIST, DIS_WALL_DESK, DIS_WALL_DESK2 = 0.1, 0.35, 1.8
-        MAX_ROT = np.pi / 8
-        min_x, max_x = left + DESK_WALL_MIN_DIST, right - DESK_WALL_MIN_DIST
-        min_y, max_y = bottom + DESK_WALL_MIN_DIST, top - DESK_WALL_MIN_DIST
-
-        def rot_range(margin):
-            if margin >= desk_length / 2:
-                return MAX_ROT
-            bound = np.arcsin(max(margin, 0) / (desk_length / 2))
-            return min(bound, MAX_ROT)
-
-        if pickup_wall == 0:
-            cx = np.random.uniform(min_x, min_x + DIS_WALL_DESK)
-            cy = np.random.uniform(min_y + DIS_WALL_DESK2, max_y - DIS_WALL_DESK2)
-            r = rot_range(cx - min_x)
-            theta = np.random.uniform(-r, r)
-        elif pickup_wall == 1:
-            cx = np.random.uniform(min_x + DIS_WALL_DESK2, max_x - DIS_WALL_DESK2)
-            cy = np.random.uniform(min_y, min_y + DIS_WALL_DESK)
-            r = rot_range(cy - min_y)
-            theta = np.random.uniform(-r, r) + np.pi / 2
-        elif pickup_wall == 2:
-            cx = np.random.uniform(max_x - DIS_WALL_DESK, max_x)
-            cy = np.random.uniform(min_y + DIS_WALL_DESK2, max_y - DIS_WALL_DESK2)
-            r = rot_range(max_x - cx)
-            theta = np.random.uniform(-r, r) + np.pi
-        else:
-            cx = np.random.uniform(min_x + DIS_WALL_DESK2, max_x - DIS_WALL_DESK2)
-            cy = np.random.uniform(max_y - DIS_WALL_DESK, max_y)
-            r = rot_range(max_y - cy)
-            theta = np.random.uniform(-r, r) - np.pi / 2
-
+        cx, cy, theta, pickup_wall = _place_on_wall(desk_length, left, right,
+                                                    bottom, top)
         rot = np.array([[np.cos(theta), np.sin(theta)],
                         [-np.sin(theta), np.cos(theta)]])
         mic_positions = mic_positions @ rot + np.array([cx, cy])
@@ -130,6 +115,77 @@ def get_random_mic_positions_desk(n_mics, left, right, bottom, top,
                      MIC_HEIGHT * np.ones((n_mics, 1))], axis=1)
             return mic_positions, [desk_length, desk_width], int(pickup_wall)
     raise RuntimeError("could not place a valid mic array")
+
+
+def _place_on_wall(desk_length, left, right, bottom, top):
+    """Pick a wall and a desk-center pose against it: distance to the picked
+    wall <= 35 cm, >= 1.8 m to the side walls, rotation bounded by pi/8 and
+    shrunk so the desk stays in-room (reference: :253-319)."""
+    DESK_WALL_MIN_DIST, DIS_WALL_DESK, DIS_WALL_DESK2 = 0.1, 0.35, 1.8
+    MAX_ROT = np.pi / 8
+    min_x, max_x = left + DESK_WALL_MIN_DIST, right - DESK_WALL_MIN_DIST
+    min_y, max_y = bottom + DESK_WALL_MIN_DIST, top - DESK_WALL_MIN_DIST
+    pickup_wall = np.random.choice(4)
+
+    def rot_range(margin):
+        if margin >= desk_length / 2:
+            return MAX_ROT
+        bound = np.arcsin(max(margin, 0) / (desk_length / 2))
+        return min(bound, MAX_ROT)
+
+    if pickup_wall == 0:
+        cx = np.random.uniform(min_x, min_x + DIS_WALL_DESK)
+        cy = np.random.uniform(min_y + DIS_WALL_DESK2, max_y - DIS_WALL_DESK2)
+        r = rot_range(cx - min_x)
+        theta = np.random.uniform(-r, r)
+    elif pickup_wall == 1:
+        cx = np.random.uniform(min_x + DIS_WALL_DESK2, max_x - DIS_WALL_DESK2)
+        cy = np.random.uniform(min_y, min_y + DIS_WALL_DESK)
+        r = rot_range(cy - min_y)
+        theta = np.random.uniform(-r, r) + np.pi / 2
+    elif pickup_wall == 2:
+        cx = np.random.uniform(max_x - DIS_WALL_DESK, max_x)
+        cy = np.random.uniform(min_y + DIS_WALL_DESK2, max_y - DIS_WALL_DESK2)
+        r = rot_range(max_x - cx)
+        theta = np.random.uniform(-r, r) + np.pi
+    else:
+        cx = np.random.uniform(min_x + DIS_WALL_DESK2, max_x - DIS_WALL_DESK2)
+        cy = np.random.uniform(max_y - DIS_WALL_DESK, max_y)
+        r = rot_range(max_y - cy)
+        theta = np.random.uniform(-r, r) - np.pi / 2
+    return cx, cy, theta, int(pickup_wall)
+
+
+def get_random_mic_positions_three_desks(n_mics, left, right, bottom, top,
+                                         dimensions=3):
+    """Three co-centered desk sizes for one scene (reference: :151-336): the
+    same wall placement, center and rotation render a large, a middle and a
+    small desk's robot expansion, enabling desk-size ablations on otherwise
+    identical scenes.
+
+    Returns (positions_by_size {name: (n_mics, dims)},
+             desk_dimensions_by_size {name: [length, width]}, pickup_wall)."""
+    for _ in range(200):
+        sizes = {name: (np.random.uniform(*lr), np.random.uniform(*wr))
+                 for name, lr, wr in THREE_DESK_SIZES}
+        local = {name: _desk_expansion(n_mics, dl, dw)
+                 for name, (dl, dw) in sizes.items()}
+        # placement rotation bound follows the LARGE desk (reference :262)
+        cx, cy, theta, pickup_wall = _place_on_wall(sizes["large"][0], left,
+                                                    right, bottom, top)
+        rot = np.array([[np.cos(theta), np.sin(theta)],
+                        [-np.sin(theta), np.cos(theta)]])
+        placed = {name: m @ rot + np.array([cx, cy])
+                  for name, m in local.items()}
+        if all(is_valid_mic_array(m, left, right, bottom, top)
+               for m in placed.values()):
+            if dimensions == 3:
+                heights = MIC_HEIGHT * np.ones((n_mics, 1))
+                placed = {name: np.concatenate([m, heights], axis=1)
+                          for name, m in placed.items()}
+            return placed, {name: list(sz) for name, sz in sizes.items()}, \
+                pickup_wall
+    raise RuntimeError("could not place a valid three-desk mic array")
 
 
 def colocated_array(center, n_mics, dimensions=3, diameter=ECHO_DOT_DIAMETER):
@@ -360,6 +416,42 @@ def generate_sample(voices_list, args, subdir, idx):
                       pickup_wall, roi, absorption, args.sr, rt60=rt60)
 
 
+def generate_sample_three_desks(voices_list, args, subdir, idx):
+    """One scene rendered three times with co-centered large/middle/small
+    desks (reference generate_sample_size, generate_dataset.py:826-929): the
+    same room, absorption, speakers and voices, differing only in the robot
+    expansion extent.  Outputs land under `<out>/<size>/<subdir>/<idx>` so
+    each desk size is a complete train/test/val dataset of its own."""
+    n_voices = np.random.randint(args.n_voices_min, args.n_voices_max + 1)
+    voices_data = get_voices(voices_list, n_voices, args.duration, args.sr)
+
+    room_length = np.random.uniform(ROOM_LENGTH_MIN, ROOM_LENGTH_MAX)
+    room_width = np.random.uniform(ROOM_WIDTH_MIN, ROOM_WIDTH_MAX)
+    room_dimensions = [room_length, room_width]
+    if args.dimensions == 3:
+        room_dimensions.append(np.random.uniform(CEIL_MIN, CEIL_MAX))
+    absorption = np.random.uniform(MIN_ABSORPTION, MAX_ABSORPTION)
+
+    placed, desk_dims, pickup_wall = get_random_mic_positions_three_desks(
+        args.n_mics, 0, room_length, 0, room_width, args.dimensions)
+    voice_positions, _, roi = get_random_speaker_positions(
+        n_voices, placed["large"], pickup_wall, 0, room_length, room_width,
+        0, sr=args.sr, dimensions=args.dimensions)
+    voice_positions = np.asarray(voice_positions)
+
+    for name, mic_positions in placed.items():
+        out_dir = os.path.join(args.output_path, name, subdir, f"{idx:05d}")
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        offsets = [calculate_sample_offset(mic_positions, v, args.sr)
+                   for v in voice_positions]
+        mix, gt = generate_data_scenario(mic_positions, voice_positions,
+                                         voices_data, room_dimensions,
+                                         absorption, args.max_order, args.sr)
+        save_scenario(out_dir, mix, gt, mic_positions, voice_positions,
+                      offsets, voices_data, room_dimensions, desk_dims[name],
+                      pickup_wall, roi, absorption, args.sr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("input_voice_dir", type=str,
@@ -378,6 +470,9 @@ def main():
     parser.add_argument("--max_order_cap", type=int, default=150)
     parser.add_argument("--sample_rt60", action="store_true")
     parser.add_argument("--generate_colocated", action="store_true")
+    parser.add_argument("--generate_three_desks", action="store_true",
+                        help="render each scene with three co-centered desk "
+                             "sizes under <out>/{large,middle,small}/")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -404,9 +499,11 @@ def main():
             print(f"[WARNING] split '{subdir}' has only {len(voices_list)} "
                   f"speakers (< n_voices_max={args.n_voices_max}); skipping")
             continue
+        sample_fn = (generate_sample_three_desks if args.generate_three_desks
+                     else generate_sample)
         for idx in range(count):
-            generate_sample(voices_list, args, subdir, idx)
-            print(f"[{subdir}] generated sample {idx}")
+            sample_fn(voices_list, args, subdir, idx)
+            print(f"[{subdir}] generated sample {idx}", flush=True)
 
 
 if __name__ == "__main__":
