@@ -126,10 +126,21 @@ class ConformerConvModule(nn.Module):
 
 
 class ConformerLayer(nn.Module):
+    """One speechbrain-style `ConformerEncoder(num_layers=1)` block.
+
+    The reference instantiates each intra-speaker block as a one-layer
+    speechbrain ConformerEncoder (SpeakerSeparation/network.py:290), which
+    applies BOTH the layer's own post-FFN norm (`norm2` there, `norm_final`
+    here) and the encoder-level final norm (`ConformerEncoder.norm`,
+    eps 1e-6; `norm_enc` here) — two consecutive LayerNorms with distinct
+    affine parameters.  `encoder_norm=False` gives the bare layer.
+    """
+
     d_model: int
     d_ffn: int
     num_heads: int
     kernel_size: int
+    encoder_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -146,4 +157,7 @@ class ConformerLayer(nn.Module):
         x = x + 0.5 * ConformerFFN(self.d_model, self.d_ffn, name="ffn2")(
             LayerNorm(self.d_model, name="norm_ffn2")(x)
         )
-        return LayerNorm(self.d_model, name="norm_final")(x)
+        x = LayerNorm(self.d_model, name="norm_final")(x)
+        if self.encoder_norm:
+            x = LayerNorm(self.d_model, eps=1e-6, name="norm_enc")(x)
+        return x

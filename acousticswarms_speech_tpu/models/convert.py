@@ -13,7 +13,9 @@ Known-mapped structure:
 - loc bottleneck.transf.layers.{i}.* (torch TransformerEncoderLayer)
 - sep bottleneck.module_list.{l}.inter.layers.0.* (torch layer)
 - sep bottleneck.module_list.{l}.intra.* (speechbrain ConformerEncoder):
-  best-effort table; unmatched keys are reported, not silently dropped.
+  full table incl. the encoder-level final norm; the key/shape inventory is
+  pinned by tests/fixtures_speechbrain.py and test_convert_sep.py asserts
+  zero unmatched keys on a complete synthetic state dict.
 """
 from __future__ import annotations
 
@@ -69,35 +71,40 @@ _SEP_RULES = _COMMON_RULES + [
 ]
 
 # speechbrain ConformerEncoder (num_layers=1) internals -> our ConformerLayer.
-# Key names follow speechbrain.lobes.models.transformer.Conformer;
-# unmatched keys surface in the returned `unmatched` list for inspection.
+# Key names transcribed from speechbrain.lobes.models.transformer.Conformer
+# (+ speechbrain.nnet.attention): the layer stores raw torch modules inside
+# ffn_module1/2 (nn.LayerNorm, PositionalwiseFeedForward's `ffn` Sequential
+# of nn.Linear) and ConvolutionModule (nn.LayerNorm / nn.Conv1d / nn.Linear),
+# while norm1/norm2 are speechbrain LayerNorm wrappers (extra `.norm.`).
+# RelPosMHAXL exposes in_proj_weight (NO qkv bias), out_proj (nn.Linear),
+# linear_pos (nn.Linear, no bias) and pos_bias_u/v of shape (H, E/H).
+# The exact key/shape inventory is pinned by tests/fixtures_speechbrain.py.
 # As above: fragments follow a one-group prefix, so internal groups are \2.
 _CONFORMER_TABLE: list[tuple[str, str]] = [
-    # feed-forward modules (ffn_module1/2: LayerNorm + 2 linears)
-    (r"ffn_module1\.0\.norm\.(weight|bias)$", r"norm_ffn1/\2"),
-    (r"ffn_module1\.1\.ffn\.0\.w\.(weight|bias)$", r"ffn1/linear1/\2"),
-    (r"ffn_module1\.1\.ffn\.3\.w\.(weight|bias)$", r"ffn1/linear2/\2"),
-    (r"ffn_module2\.0\.norm\.(weight|bias)$", r"norm_ffn2/\2"),
-    (r"ffn_module2\.1\.ffn\.0\.w\.(weight|bias)$", r"ffn2/linear1/\2"),
-    (r"ffn_module2\.1\.ffn\.3\.w\.(weight|bias)$", r"ffn2/linear2/\2"),
-    # attention
+    # feed-forward modules (ffn_moduleN = [nn.LayerNorm, PFFW, Dropout])
+    (r"ffn_module1\.0\.(weight|bias)$", r"norm_ffn1/\2"),
+    (r"ffn_module1\.1\.ffn\.0\.(weight|bias)$", r"ffn1/linear1/\2"),
+    (r"ffn_module1\.1\.ffn\.3\.(weight|bias)$", r"ffn1/linear2/\2"),
+    (r"ffn_module2\.0\.(weight|bias)$", r"norm_ffn2/\2"),
+    (r"ffn_module2\.1\.ffn\.0\.(weight|bias)$", r"ffn2/linear1/\2"),
+    (r"ffn_module2\.1\.ffn\.3\.(weight|bias)$", r"ffn2/linear2/\2"),
+    # attention (norm1 = speechbrain LayerNorm wrapper; RelPosMHAXL)
     (r"norm1\.norm\.(weight|bias)$", r"norm_mhsa/\2"),
-    (r"mha_layer\.att\.in_proj_weight$", r"mhsa/in_proj_weight"),
-    (r"mha_layer\.att\.in_proj_bias$", r"mhsa/in_proj_bias"),
-    (r"mha_layer\.att\.out_proj\.(weight|bias)$", r"mhsa/out_proj/\2"),
-    (r"mha_layer\.linear_pos\.w\.weight$", r"mhsa/linear_pos_weight"),
+    (r"mha_layer\.in_proj_weight$", r"mhsa/in_proj_weight"),
+    (r"mha_layer\.out_proj\.(weight|bias)$", r"mhsa/out_proj/\2"),
+    (r"mha_layer\.linear_pos\.weight$", r"mhsa/linear_pos_weight"),
     (r"mha_layer\.pos_bias_u$", r"mhsa/pos_bias_u"),
     (r"mha_layer\.pos_bias_v$", r"mhsa/pos_bias_v"),
-    # convolution module
-    (r"convolution_module\.layer_norm\.norm\.(weight|bias)$", r"norm_conv/\2"),
-    (r"convolution_module\.bottleneck\.0\.conv\.(weight|bias)$",
+    # convolution module (raw torch layers inside)
+    (r"convolution_module\.layer_norm\.(weight|bias)$", r"norm_conv/\2"),
+    (r"convolution_module\.bottleneck\.0\.(weight|bias)$",
      r"conv/pointwise1/\2"),
-    (r"convolution_module\.conv\.conv\.(weight|bias)$", r"conv/depthwise/\2"),
-    (r"convolution_module\.after_conv\.0\.norm\.(weight|bias)$",
+    (r"convolution_module\.conv\.(weight|bias)$", r"conv/depthwise/\2"),
+    (r"convolution_module\.after_conv\.0\.(weight|bias)$",
      r"conv/norm/\2"),
-    (r"convolution_module\.after_conv\.2\.w\.(weight|bias)$",
+    (r"convolution_module\.after_conv\.2\.(weight|bias)$",
      r"conv/pointwise2/\2"),
-    # final norm
+    # layer-final norm (speechbrain wrapper)
     (r"norm2\.norm\.(weight|bias)$", r"norm_final/\2"),
 ]
 
@@ -105,6 +112,11 @@ _SEP_CONFORMER_RULES = [
     (r"^bottleneck\.module_list\.(\d+)\.intra\.layers\.0\." + pat,
      r"bottleneck_\1_intra/" + rep)
     for pat, rep in _CONFORMER_TABLE
+] + [
+    # encoder-level final norm (ConformerEncoder.norm, applied after the
+    # single layer — distinct from the layer's norm2)
+    (r"^bottleneck\.module_list\.(\d+)\.intra\.norm\.norm\.(weight|bias)$",
+     r"bottleneck_\1_intra/norm_enc/\2"),
 ]
 
 
@@ -129,6 +141,10 @@ def convert_state_dict(state_dict: Mapping[str, np.ndarray],
             m = re.match(pat, key)
             if m:
                 path = m.expand(rep).split("/")
+                # speechbrain's ConvolutionModule ends in an nn.Linear acting
+                # as a pointwise conv; our block uses an actual 1x1 Conv1d
+                if path[-2:] == ["pointwise2", "weight"] and val.ndim == 2:
+                    val = val[:, :, None]
                 _set(params, path, val)
                 break
         else:

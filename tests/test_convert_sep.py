@@ -42,38 +42,49 @@ def _to_torch_names(tree):
         elif "_intra" in p[0]:
             l = p[0].split("_")[1]
             prefix = f"bottleneck.module_list.{l}.intra.layers.0."
-            # our path -> speechbrain-style key (inverse of _CONFORMER_TABLE)
+            # our path -> speechbrain key (inverse of _CONFORMER_TABLE;
+            # the forward direction is pinned against an actual torch
+            # state_dict in test_speechbrain_fixture.py)
             mapping = {
-                ("norm_ffn1",): "ffn_module1.0.norm.{leaf}",
-                ("ffn1", "linear1"): "ffn_module1.1.ffn.0.w.{leaf}",
-                ("ffn1", "linear2"): "ffn_module1.1.ffn.3.w.{leaf}",
-                ("norm_ffn2",): "ffn_module2.0.norm.{leaf}",
-                ("ffn2", "linear1"): "ffn_module2.1.ffn.0.w.{leaf}",
-                ("ffn2", "linear2"): "ffn_module2.1.ffn.3.w.{leaf}",
+                ("norm_ffn1",): "ffn_module1.0.{leaf}",
+                ("ffn1", "linear1"): "ffn_module1.1.ffn.0.{leaf}",
+                ("ffn1", "linear2"): "ffn_module1.1.ffn.3.{leaf}",
+                ("norm_ffn2",): "ffn_module2.0.{leaf}",
+                ("ffn2", "linear1"): "ffn_module2.1.ffn.0.{leaf}",
+                ("ffn2", "linear2"): "ffn_module2.1.ffn.3.{leaf}",
                 ("norm_mhsa",): "norm1.norm.{leaf}",
-                ("mhsa", "out_proj"): "mha_layer.att.out_proj.{leaf}",
-                ("norm_conv",): "convolution_module.layer_norm.norm.{leaf}",
-                ("conv", "pointwise1"): "convolution_module.bottleneck.0.conv.{leaf}",
-                ("conv", "depthwise"): "convolution_module.conv.conv.{leaf}",
-                ("conv", "norm"): "convolution_module.after_conv.0.norm.{leaf}",
-                ("conv", "pointwise2"): "convolution_module.after_conv.2.w.{leaf}",
+                ("mhsa", "out_proj"): "mha_layer.out_proj.{leaf}",
+                ("norm_conv",): "convolution_module.layer_norm.{leaf}",
+                ("conv", "pointwise1"): "convolution_module.bottleneck.0.{leaf}",
+                ("conv", "depthwise"): "convolution_module.conv.{leaf}",
+                ("conv", "norm"): "convolution_module.after_conv.0.{leaf}",
+                ("conv", "pointwise2"): "convolution_module.after_conv.2.{leaf}",
                 ("norm_final",): "norm2.norm.{leaf}",
             }
             leafless = {
-                ("mhsa", "in_proj_weight"): "mha_layer.att.in_proj_weight",
-                ("mhsa", "in_proj_bias"): "mha_layer.att.in_proj_bias",
-                ("mhsa", "linear_pos_weight"): "mha_layer.linear_pos.w.weight",
+                ("mhsa", "in_proj_weight"): "mha_layer.in_proj_weight",
+                ("mhsa", "linear_pos_weight"): "mha_layer.linear_pos.weight",
                 ("mhsa", "pos_bias_u"): "mha_layer.pos_bias_u",
                 ("mhsa", "pos_bias_v"): "mha_layer.pos_bias_v",
             }
             key = tuple(p[1:-1])
             full = tuple(p[1:])
+            if full == ("mhsa", "in_proj_bias"):
+                # speechbrain's RelPosMHAXL has no qkv bias; our (zero) bias
+                # simply has no checkpoint counterpart
+                return
             if full in leafless:
                 name = prefix + leafless[full]
             elif key in mapping:
                 name = prefix + mapping[key].format(leaf=p[-1])
+            elif key == ("norm_enc",):
+                # encoder-level final norm lives outside layers.0
+                name = f"bottleneck.module_list.{l}.intra.norm.norm.{p[-1]}"
         assert name is not None, p
-        sd[name] = np.asarray(node)
+        val = np.asarray(node)
+        if name.endswith("after_conv.2.weight"):
+            val = val[:, :, 0]  # our 1x1 conv <-> speechbrain's nn.Linear
+        sd[name] = val
 
     walk(tree["params"], [])
     return sd
@@ -89,8 +100,13 @@ def test_convert_sep_roundtrip():
     converted, unmatched = convert_state_dict(sd, "SpeakerSeparation")
     assert unmatched == [], unmatched
 
+    # merge fills the one param with no torch counterpart (zero qkv bias)
+    from acousticswarms_speech_tpu.training.experiment import _merge_params
+
+    merged = _merge_params(ref_params, converted)
+
     rng = np.random.default_rng(0)
     xin = jnp.asarray(rng.normal(size=(1, 8, 128)).astype(np.float32))
     y_ref = model.apply(ref_params, xin, n)
-    y_conv = model.apply(converted, xin, n)
+    y_conv = model.apply(merged, xin, n)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_conv))
