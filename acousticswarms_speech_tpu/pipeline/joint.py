@@ -23,10 +23,13 @@ from .mic_array import MicArray
 class JointPipeline:
     def __init__(self, spot_model: SpotNet, spot_params, sep_model: SepNet,
                  sep_params, spot_batch_size: int = SPOT_BATCH,
-                 use_bf16: bool = False):
+                 use_bf16: bool = False, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'cand' axis — the coarse
+        and fine spotforming sweeps (the workload's scaling axis) shard their
+        candidate batches over it; see search/spotform.py:_BatchedSweep."""
         self.spot_model = SpotformExecutor(spot_model, spot_params,
                                            batch_size=spot_batch_size,
-                                           use_bf16=use_bf16)
+                                           use_bf16=use_bf16, mesh=mesh)
         self.sep_model = SeparationInference(sep_model, sep_params,
                                              use_bf16=use_bf16)
         self.times = [0.0] * 5

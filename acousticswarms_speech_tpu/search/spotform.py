@@ -127,11 +127,22 @@ class SweepResult:
 
 
 class _BatchedSweep:
-    """Single-dispatch bucketed sweep driver shared by executors."""
+    """Single-dispatch bucketed sweep driver shared by executors.
 
-    def __init__(self, batch_size: int = SPOT_BATCH):
+    With `mesh` (a jax.sharding.Mesh containing a 'cand' axis), the candidate
+    batch axis of every sweep is sharded over that axis via `shard_map`: each
+    device runs the `lax.map` chunk loop over its own candidate slice and the
+    (K, T) output block lives sharded across the mesh.  The on-device SI-SDR
+    similarity matrix is computed on the sharded block inside the same jit
+    (XLA inserts the all-gather for the K x K matmul).  Single-device
+    behavior (mesh=None) is unchanged; outputs are numerically identical
+    (tests/test_parallel.py::test_executor_mesh_equality).
+    """
+
+    def __init__(self, batch_size: int = SPOT_BATCH, mesh=None):
         # batch_size kept for API compatibility; the sweep uses MAP_CHUNK.
         self.batch_size = batch_size
+        self.mesh = mesh
         self.calls = 0
         self._programs: dict = {}
 
@@ -139,23 +150,45 @@ class _BatchedSweep:
         """(MAP_CHUNK, M) shifts -> (out (MAP_CHUNK, T), total, win)."""
         raise NotImplementedError
 
-    def _build(self, k_pad: int, with_similarity: bool):
-        chunk = min(MAP_CHUNK, k_pad)
-        assert k_pad % chunk == 0, (k_pad, MAP_CHUNK)
-        n_chunks = k_pad // chunk
+    def _n_cand(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape["cand"]
 
-        @jax.jit
-        def run(mix, shifts_all, onehot, *extra):
-            chunks = shifts_all.reshape(n_chunks, chunk, -1)
+    def _build(self, k_pad: int, with_similarity: bool):
+        local_k = k_pad // self._n_cand()
+        chunk = min(MAP_CHUNK, local_k)
+        assert local_k % chunk == 0, (k_pad, local_k, MAP_CHUNK)
+        n_chunks = local_k // chunk
+
+        def local_run(mix, shifts_local, onehot, *extra):
+            chunks = shifts_local.reshape(n_chunks, chunk, -1)
 
             def step(shift_chunk):
                 return self._chunk_fn(mix, shift_chunk, onehot, *extra)
 
             outs, totals, wins = lax.map(step, chunks)
             T = outs.shape[-1]
-            out = outs.reshape(k_pad, T)
-            totals = totals.reshape(k_pad)
-            wins = wins.reshape(k_pad)
+            return (outs.reshape(local_k, T), totals.reshape(local_k),
+                    wins.reshape(local_k))
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            n_extra = len(self._extra_args())
+            local_run = shard_map(
+                local_run,
+                mesh=self.mesh,
+                in_specs=(P(), P("cand", None), P()) + (P(),) * n_extra,
+                out_specs=(P("cand", None), P("cand"), P("cand")),
+            )
+
+        @jax.jit
+        def run(mix, shifts_all, onehot, *extra):
+            out, totals, wins = local_run(mix, shifts_all, onehot, *extra)
             if with_similarity:
                 sim = sisdr_matrix(out)
                 return out, totals, wins, sim
@@ -211,8 +244,8 @@ class SpotformExecutor(_BatchedSweep):
     """Runs the spotforming net over batches of TDoA candidates."""
 
     def __init__(self, model, params, batch_size: int = SPOT_BATCH,
-                 use_bf16: bool = False):
-        super().__init__(batch_size)
+                 use_bf16: bool = False, mesh=None):
+        super().__init__(batch_size, mesh=mesh)
         self.model = model
         self.use_bf16 = use_bf16
         self.params = (

@@ -67,3 +67,69 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (args[2].shape[0], args[1].shape[1])
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_executor_mesh_equality():
+    """Production SpotformExecutor sweep: candidate-sharded over the mesh
+    == single-device, bit-for-bit on powers and waveforms."""
+    from acousticswarms_speech_tpu.models import SpotNet, init_model
+    from acousticswarms_speech_tpu.parallel.mesh import make_mesh
+    from acousticswarms_speech_tpu.search.spotform import SpotformExecutor
+
+    model = SpotNet(n_mics=4, stride_list=(2, 2), channels=4,
+                    encoder_channels=8, residual_layers=1, ffw_dim=8,
+                    num_transformer_layers=1, num_head=2)
+    params = init_model(model, jax.random.PRNGKey(0),
+                        (jnp.zeros((1, 4, 256)), jnp.ones((1, 2))))
+    rng = np.random.default_rng(0)
+    mix = rng.normal(size=(4, 512)).astype(np.float32)
+    patch_list = [rng.integers(-8, 8, size=3) for _ in range(21)]
+
+    single = SpotformExecutor(model, params)
+    res1 = single.sweep(mix, patch_list, strict=0, with_similarity=True)
+
+    mesh = make_mesh(n_data=1, n_cand=8)
+    sharded = SpotformExecutor(model, params, mesh=mesh)
+    res2 = sharded.sweep(mix, patch_list, strict=0, with_similarity=True)
+
+    np.testing.assert_allclose(res2.powers, res1.powers, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(res2.powers_win, res1.powers_win, rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(res2.sisdr_mat, res1.sisdr_mat, rtol=1e-4,
+                               atol=1e-5)
+    w1 = res1.gather(range(len(patch_list)), quantize=False)
+    w2 = res2.gather(range(len(patch_list)), quantize=False)
+    for k in w1:
+        np.testing.assert_allclose(w2[k], w1[k], rtol=1e-5, atol=1e-6)
+
+
+def test_full_search_stack_mesh_equality():
+    """The complete localize-by-separation stack (SRP -> coarse -> fine ->
+    NMS — the exact code JointPipeline.forward runs) with a candidate-sharded
+    executor produces the same clusters as single-device."""
+    from acousticswarms_speech_tpu.parallel.mesh import make_mesh
+    from acousticswarms_speech_tpu.pipeline.mic_array import MicArray
+    from acousticswarms_speech_tpu.search.spotform import DelayAndSumExecutor
+    from tests.test_pipeline_e2e import MIC_POS, _make_scene
+
+    srcs = [np.array([4.8, 2.4, 0.4]), np.array([2.2, 3.4, 0.3])]
+    mix, _ = _make_scene(srcs, seed=1)
+    roi = [1.0, 6.0, 0.2, 5.0, 0.1, 0.62]
+
+    def run(executor):
+        arr = MicArray(MIC_POS, spk_range=roi, grid_size=0.05)
+        patch_list, _ = arr.apply_srp_phat(mix)
+        big = arr.spotform_big_patch(mix, patch_list, executor)
+        pairs = arr.spotform_small_patch_parallel(mix, big, executor)
+        audio_final, patch_final, _, _ = arr.clustering_new(pairs)
+        return audio_final, patch_final
+
+    audio1, final1 = run(DelayAndSumExecutor())
+    mesh = make_mesh(n_data=1, n_cand=8)
+    audio2, final2 = run(DelayAndSumExecutor(mesh=mesh))
+
+    assert len(final1) == len(final2) and len(final1) >= 1
+    for p1, p2 in zip(final1, final2):
+        np.testing.assert_allclose(p2[0].center_pos(), p1[0].center_pos())
+    for a1, a2 in zip(audio1, audio2):
+        np.testing.assert_allclose(a2, a1, rtol=1e-4, atol=1e-5)
