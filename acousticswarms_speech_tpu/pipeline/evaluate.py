@@ -104,8 +104,51 @@ def preprocess_metadata(metadata):
             range_spk)
 
 
-def get_items(curr_dir: str, denoise_gt: bool = False):
-    """(reference: get_items.py:10-44)"""
+def _estimate_noise_sample(x: np.ndarray, sr: int,
+                           win_s: float = 0.5) -> np.ndarray:
+    """Quietest `win_s` stretch of `x` (rolling RMS) — the noise floor of a
+    real recording's reference-mic GT."""
+    win = max(int(win_s * sr), 256)
+    if x.shape[-1] <= win:
+        return x
+    e = np.convolve(x.astype(np.float64) ** 2, np.ones(win), mode="valid")
+    start = int(np.argmin(e[:: win // 4]) * (win // 4))
+    return x[start : start + win]
+
+
+def generate_denoised_gt(curr_dir: str, sr: int) -> int:
+    """Write `<mic0>_<voiceNN>_denoised.wav` next to each GT that lacks one
+    (spectral gating against the recording's own quietest stretch).
+
+    The reference consumes such files when present (get_items.py:10-44 via
+    SpeakerSeparation/dataset.py:112-116) but ships them precomputed with its
+    real-recording datasets; this generates them on the fly for real scenes.
+    Returns the number of files written."""
+    from ..utils import write_wav
+    from ..utils.denoise import denoise
+
+    with open(os.path.join(curr_dir, "metadata.json"), "rb") as f:
+        metadata = json.load(f)
+    mics = sorted(k for k in metadata if "mic" in k)
+    voices = [k for k in metadata if "voice" in k]
+    written = 0
+    for voice in voices:
+        out_path = os.path.join(curr_dir, f"{mics[0]}_{voice}_denoised.wav")
+        if os.path.exists(out_path):
+            continue
+        gt = read_audio_file(
+            os.path.join(curr_dir, f"{mics[0]}_{voice}.wav"))[0]
+        noise = _estimate_noise_sample(gt, sr)
+        write_wav(out_path, denoise(gt, noise, sr).astype(np.float32), sr)
+        written += 1
+    return written
+
+
+def get_items(curr_dir: str, denoise_gt: bool = False,
+              generate_denoised: bool = False, sr: int = FS):
+    """(reference: get_items.py:10-44).  `generate_denoised` creates missing
+    `*_denoised.wav` GT files on the fly (real recordings only — synthetic
+    scenes have clean GT by construction)."""
     with open(os.path.join(curr_dir, "metadata.json"), "rb") as f:
         metadata = json.load(f)
     mics = [k for k in metadata if "mic" in k]
@@ -113,6 +156,8 @@ def get_items(curr_dir: str, denoise_gt: bool = False):
         read_audio_file(os.path.join(curr_dir, f"{m}_mixed.wav")) for m in mics
     ])
     voices = [k for k in metadata if "voice" in k]
+    if denoise_gt and generate_denoised and metadata.get("real", False):
+        generate_denoised_gt(curr_dir, sr)
     gts = []
     for voice in voices:
         denoised = os.path.join(curr_dir, f"{mics[0]}_{voice}_denoised.wav")
@@ -160,7 +205,8 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
         print(" ------------------- Running on sample", curr)
         save_data = {}
 
-        metadata, mix, gt = get_items(curr, denoise_gt=True)
+        metadata, mix, gt = get_items(curr, denoise_gt=True,
+                                      generate_denoised=True)
         (mics, mic_positions, sources, gt_speaker_positions,
          sample_offsets_gt, speaker_range) = preprocess_metadata(metadata)
         gt_num_speakers = gt_speaker_positions.shape[0]

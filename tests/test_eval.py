@@ -159,3 +159,53 @@ def test_analyzer_reads_result_json(tmp_path):
     assert out["precision"] == 0.5 and out["recall"] == 0.5
     assert out["loc_err_median"] == pytest.approx(0.1)
     assert 2 in out["per_speaker_count"]
+
+
+def test_on_the_fly_gt_denoising(tmp_path):
+    """Real-recording scenes get their GT denoised (and cached) during eval:
+    get_items(generate_denoised=True) writes *_denoised.wav and returns a GT
+    with higher SNR than the noisy original."""
+    from acousticswarms_speech_tpu.pipeline.evaluate import get_items
+    from acousticswarms_speech_tpu.utils import write_wav
+
+    sr = 48000
+    rng = np.random.default_rng(0)
+    t = np.arange(2 * sr) / sr
+    clean = (np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 1.5 * t) > 0.2)
+             ).astype(np.float32) * 0.4
+    clean[: sr // 2] = 0.0  # quiet head: the noise-floor estimate window
+    noise = rng.normal(size=clean.shape).astype(np.float32) * 0.02
+    noisy = clean + noise
+
+    d = tmp_path / "00000"
+    d.mkdir()
+    write_wav(str(d / "mic00_voice00.wav"), noisy, sr)
+    write_wav(str(d / "mic00_mixed.wav"), noisy, sr)
+    meta = {
+        "voice00": {"position": [1, 1, 0.3], "shifts": [], "speaker_id": "a"},
+        "mic00": {"position": [0, 0, 0.02]},
+        "real": True,
+    }
+    (d / "metadata.json").write_text(json.dumps(meta))
+
+    _, _, gt = get_items(str(d), denoise_gt=True, generate_denoised=True,
+                         sr=sr)
+    assert os.path.exists(d / "mic00_voice00_denoised.wav")
+
+    def snr(x):
+        n = min(len(x), len(clean))
+        e_sig = np.sum(clean[:n] ** 2)
+        e_err = np.sum((x[:n] - clean[:n]) ** 2)
+        return 10 * np.log10(e_sig / (e_err + 1e-12))
+
+    assert snr(gt[0]) > snr(noisy) + 3.0, (snr(gt[0]), snr(noisy))
+
+    # synthetic scenes (real=False) must NOT be touched
+    meta["real"] = False
+    d2 = tmp_path / "00001"
+    d2.mkdir()
+    write_wav(str(d2 / "mic00_voice00.wav"), noisy, sr)
+    write_wav(str(d2 / "mic00_mixed.wav"), noisy, sr)
+    (d2 / "metadata.json").write_text(json.dumps(meta))
+    get_items(str(d2), denoise_gt=True, generate_denoised=True, sr=sr)
+    assert not os.path.exists(d2 / "mic00_voice00_denoised.wav")
