@@ -474,6 +474,11 @@ def main():
                         help="render each scene with three co-centered desk "
                              "sizes under <out>/{large,middle,small}/")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--skip_existing", action="store_true",
+                        help="resume an interrupted run: skip indices whose "
+                             "metadata.json already exists (skipped scenes "
+                             "consume no RNG draws, so use a fresh --seed to "
+                             "avoid regenerating earlier scenes' content)")
     args = parser.parse_args()
 
     np.random.seed(args.seed)
@@ -502,6 +507,10 @@ def main():
         sample_fn = (generate_sample_three_desks if args.generate_three_desks
                      else generate_sample)
         for idx in range(count):
+            done_marker = os.path.join(args.output_path, subdir,
+                                       f"{idx:05d}", "metadata.json")
+            if args.skip_existing and os.path.exists(done_marker):
+                continue
             sample_fn(voices_list, args, subdir, idx)
             print(f"[{subdir}] generated sample {idx}", flush=True)
 
