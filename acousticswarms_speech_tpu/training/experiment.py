@@ -78,6 +78,16 @@ def load_model_from_exp(exp_dir: str, mode: str = "best",
     )
 
     if mode == "new" or (not torch_ckpts and not our_ckpts):
+        release = os.path.join(exp_dir, "release", "params_f16.msgpack")
+        if mode != "new" and os.path.exists(release):
+            # git-tracked float16 release weights (exported by
+            # scripts/export_release.py) — survive checkpoint-dir cleanup
+            print(f"[experiment] loading release weights {release}")
+            f16_template = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, np.float16), template)
+            loaded = load_params(release, f16_template)
+            return model, jax.tree_util.tree_map(
+                lambda t, v: jnp.asarray(v, dtype=t.dtype), template, loaded)
         if mode != "new":
             print("[WARNING] no checkpoint found, using fresh parameters")
         return model, template

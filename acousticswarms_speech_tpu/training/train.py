@@ -159,6 +159,13 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
                 load_torch_checkpoint(pre), model_name
             )
             params = _merge_params(params, variables)
+        elif os.path.isdir(pre):
+            # experiment directory: warm start from its best checkpoint
+            # (reference configs point pretrain_path at a stage-1 ckpt,
+            # experiments/localization/description.json:25)
+            from .experiment import load_model_from_exp
+
+            _, params = load_model_from_exp(pre, mode="best")
         else:
             params = ckpt.load_params(pre, params)
         print(f"Warm start from {pre}")
