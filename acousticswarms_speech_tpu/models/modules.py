@@ -176,6 +176,35 @@ class LayerNorm(nn.Module):
         return out.astype(dtype)
 
 
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis of (B, C, T) activations, computed
+    in-place in the channel-first layout.
+
+    Numerically equivalent to `transpose -> LayerNorm -> transpose` (the
+    reference applies torch LayerNorm to (B, T, C) views,
+    SpeakerLocalization/network.py:50-68) but avoids materializing two full
+    transposed copies of the activation per residual layer — at the first
+    U-Net level that is 2 x (C x T) extra HBM round trips per candidate.
+    Param tree ("weight"/"bias" of shape (C,) under the module name) is
+    identical to LayerNorm, so checkpoints are interchangeable."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=1, keepdims=True)
+        var = xf.var(axis=1, keepdims=True)
+        out = (xf - mean) * lax.rsqrt(var + self.eps) \
+            * w.astype(jnp.float32)[None, :, None] \
+            + b.astype(jnp.float32)[None, :, None]
+        return out.astype(dtype)
+
+
 def glu(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """torch.nn.GLU: split in two along `axis`, gate second half."""
     a, b = jnp.split(x, 2, axis=axis)
@@ -282,9 +311,8 @@ class DilatedResidualLayer(nn.Module):
         y = Conv1d(self.nchannels, self.nchannels, self.ksize,
                    dilation=self.dilation, padding=pad, name="conv")(x)
         y = jax.nn.relu(y) + x
-        # LayerNorm over channel axis: transpose to (B, T, C) and back
-        y = LayerNorm(self.nchannels, name="norm")(y.transpose(0, 2, 1))
-        return y.transpose(0, 2, 1)
+        # LayerNorm over the channel axis, computed without transposing
+        return ChannelLayerNorm(self.nchannels, name="norm")(y)
 
 
 class DilatedResidualSequence(nn.Module):

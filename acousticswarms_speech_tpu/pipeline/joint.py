@@ -105,14 +105,20 @@ class JointPipeline:
             return [], [], 0, 0, 0
 
         t0 = time.time()
-        # Dispatch the coarse sweep, then subdivide every candidate on the
-        # host while the device works (the coarse survivors are a subset, so
-        # their subdivisions are ready when stage 2 starts).
+        # Dispatch the coarse sweep, then subdivide candidates on the host
+        # while the device works.  Subdivision of ALL candidates costs more
+        # than the device sweep, so poll the sweep's completion and stop
+        # eagerly subdividing once the device is done — the remaining
+        # survivors (a filtered subset) are subdivided on demand in stage 2,
+        # which is cheaper than pre-subdividing every dropped candidate.
         self.mic_processor.big_spotforming_times = len(patch_list)
         coarse_sweep = self.spot_model.sweep(mix_data, patch_list, strict=0)
-        subdivided = {
-            id(p): self.mic_processor.subdivide_patch(p) for p in patch_list
-        }
+        done = getattr(coarse_sweep._totals, "is_ready", lambda: False)
+        subdivided = {}
+        for p in patch_list:
+            subdivided[id(p)] = self.mic_processor.subdivide_patch(p)
+            if done():
+                break
         patch_list = self.mic_processor.spotform_big_patch(
             mix_data, patch_list, self.spot_model, sweep=coarse_sweep
         )

@@ -155,20 +155,32 @@ class _BatchedSweep:
 
     def _build(self, k_pad: int, with_similarity: bool):
         local_k = k_pad // self._n_cand()
-        chunk = min(MAP_CHUNK, local_k)
-        assert local_k % chunk == 0, (k_pad, local_k, MAP_CHUNK)
-        n_chunks = local_k // chunk
+        # Body of MAP_CHUNK-sized lax.map steps (measured-optimal chunk) plus
+        # one direct tail call for the remainder — this lets the bucket
+        # ladder use 64-candidate granularity above 128 (427 candidates pad
+        # to 448, not 512) without dropping to a uniformly smaller, slower
+        # chunk size.
+        n_body = (local_k // MAP_CHUNK) * MAP_CHUNK
+        n_tail = local_k - n_body
 
         def local_run(mix, shifts_local, onehot, *extra):
-            chunks = shifts_local.reshape(n_chunks, chunk, -1)
-
             def step(shift_chunk):
                 return self._chunk_fn(mix, shift_chunk, onehot, *extra)
 
-            outs, totals, wins = lax.map(step, chunks)
-            T = outs.shape[-1]
-            return (outs.reshape(local_k, T), totals.reshape(local_k),
-                    wins.reshape(local_k))
+            parts = []
+            if n_body:
+                chunks = shifts_local[:n_body].reshape(-1, MAP_CHUNK,
+                                                       shifts_local.shape[-1])
+                outs, totals, wins = lax.map(step, chunks)
+                T = outs.shape[-1]
+                parts.append((outs.reshape(n_body, T),
+                              totals.reshape(n_body), wins.reshape(n_body)))
+            if n_tail:
+                parts.append(step(shifts_local[n_body:]))
+            if len(parts) == 1:
+                return parts[0]
+            return tuple(jnp.concatenate([p[i] for p in parts])
+                         for i in range(3))
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -204,13 +216,14 @@ class _BatchedSweep:
         # Pad the candidate count to a bucket so one compiled program serves
         # all mixtures.  Small buckets {32, 64} matter for the coarse stage:
         # typical SRP pruning yields 10-30 big patches, and padding those to
-        # 128 wasted ~2 s of network forwards per mixture.
+        # 128 wasted ~2 s of network forwards per mixture.  Above 64 the
+        # ladder advances in 64-candidate steps (tail-chunk dispatch in
+        # _build) halving the worst-case padding waste of the fine sweep.
         if num_patches <= 32:
             k_pad = 32
-        elif num_patches <= 64:
-            k_pad = 64
         else:
-            k_pad = ((num_patches + BUCKET - 1) // BUCKET) * BUCKET
+            step = BUCKET if self.mesh is not None else BUCKET // 2
+            k_pad = ((num_patches + step - 1) // step) * step
         if k_pad > shifts.shape[0]:
             shifts = np.concatenate(
                 [shifts, np.zeros((k_pad - num_patches, M), dtype=np.int32)]

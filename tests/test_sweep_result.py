@@ -67,3 +67,26 @@ def test_sweep_bucket_ladder():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(res_mid.powers_win, res_large.powers_win[:40],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_sweep_tail_chunk():
+    """Above MAP_CHUNK the ladder advances in 64-candidate steps; the tail
+    remainder runs as a direct chunk call and must agree with the body."""
+    from acousticswarms_speech_tpu.search import spotform as sf
+
+    rng = np.random.default_rng(3)
+    mix = rng.normal(size=(4, 2000)).astype(np.float32) * 0.1
+    offs = [rng.integers(-30, 30, 3).astype(float) for _ in range(140)]
+
+    ex = sf.DelayAndSumExecutor()
+    res = ex.sweep(mix, offs, strict=0, with_similarity=True)
+    assert res._k_pad == 192  # 128-body + 64-tail, not 256
+    assert res.n == 140
+    # candidates processed by the tail chunk (>=128) match a small-bucket
+    # evaluation of the same offsets
+    res_tail = ex.sweep(mix, offs[128:], strict=0)
+    np.testing.assert_allclose(res.powers[128:], res_tail.powers,
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(res.powers_win[128:], res_tail.powers_win,
+                               rtol=1e-5, atol=1e-7)
+    assert res.sisdr_mat.shape == (140, 140)
