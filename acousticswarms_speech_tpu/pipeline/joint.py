@@ -73,6 +73,13 @@ class JointPipeline:
         return self._forward(mix_data)
 
     def _forward(self, mix_data: np.ndarray):
+        import jax.numpy as jnp
+
+        # Upload the mixture ONCE; every stage (SRP map, coarse/fine sweeps,
+        # separation) consumes the device-resident array — jnp.asarray on an
+        # already-device f32 array is a no-op, so this removes three
+        # 4 MB host->device transfers per mixture on the relayed runtime.
+        mix_data = jnp.asarray(np.asarray(mix_data), dtype=jnp.float32)
         self.times = [0.0] * 5
         patches, audio_loc, srp_drop, stage1_drop, spot_times = \
             self.localize_by_separation(mix_data)

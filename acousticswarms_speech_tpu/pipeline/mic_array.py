@@ -68,7 +68,7 @@ class MicArray:
         (reference: Mic_Array.py:152-194)."""
         self.spotforming_times = 0
         self.original_times = 0
-        mix = np.asarray(mix_data)
+        mix = mix_data  # may be a device-resident array; stages consume as-is
 
         if self.prune_method == "SRP":
             self.srp.compute_map(mix)

@@ -36,19 +36,53 @@ from ..utils import (
 from ..utils.codec import OpusCodec
 
 
+# In-RAM decoded-WAV cache: a 3 s corpus epoch re-reads every scene's wavs
+# (7 mixture channels + GT voices); at reference scale that is ~15 GB of
+# repeated disk IO + WAV parsing per epoch on a single host core.  Cached
+# arrays are never mutated by consumers (shift/perturb copy; the GT path
+# returns a copy).  Cap via ACOUSTIC_WAV_CACHE_MB (0 disables).
+_WAV_CACHE: dict = {}
+_WAV_CACHE_STATE = {"bytes": 0}
+_WAV_CACHE_LIMIT = float(os.environ.get("ACOUSTIC_WAV_CACHE_MB",
+                                        "20000")) * 1e6
+
+
+def _cache_put(key, arr: np.ndarray) -> np.ndarray:
+    if _WAV_CACHE_STATE["bytes"] + arr.nbytes <= _WAV_CACHE_LIMIT:
+        _WAV_CACHE[key] = arr
+        _WAV_CACHE_STATE["bytes"] += arr.nbytes
+    return arr
+
+
+def _cached_voice(path: str, sr) -> np.ndarray:
+    """GT voice read with caching; returns a private copy (the codec
+    augmentation mutates its target in place)."""
+    arr = _WAV_CACHE.get(path)
+    if arr is None:
+        arr = _cache_put(path, read_audio_file(path, sr))
+    return arr.copy()
+
+
 def _load_mixture(curr_dir, mics) -> np.ndarray:
     """Load all mixture channels of a sample, using the native parallel WAV
     loader (runtime/native.py) when available."""
+    key = (str(curr_dir), tuple(mics))
+    cached = _WAV_CACHE.get(key)
+    if cached is not None:
+        return cached
     paths = [str(os.path.join(curr_dir, m)) + "_mixed.wav" for m in mics]
+    out = None
     try:
         from ..runtime import native
 
         if native.available():
             n0 = native.load_wav(paths[0])
-            return native.load_wavs(paths, len(n0))
+            out = native.load_wavs(paths, len(n0))
     except Exception:
         pass
-    return np.concatenate([read_audio_file(p) for p in paths])
+    if out is None:
+        out = np.concatenate([read_audio_file(p) for p in paths])
+    return _cache_put(key, out)
 
 
 class BaseDataset:
@@ -288,7 +322,7 @@ class LocalizationDataset(BaseDataset):
             else:
                 suffix = "_dereverb" if self.dereverb else ""
                 path = os.path.join(curr_dir, f"{mics[0]}_{voice}{suffix}.wav")
-            target_voice_data = read_audio_file(path, self.sr)
+            target_voice_data = _cached_voice(path, self.sr)
 
         if self.training:
             shifted_vector = self.perturb_audio(shifted_vector)
@@ -357,7 +391,7 @@ class SeparationDataset(BaseDataset):
                                         f"{mics[0]}_{voice}_denoised.wav")
                 path = denoised if os.path.exists(denoised) else \
                     os.path.join(curr_dir, f"{mics[0]}_{voice}.wav")
-                gt = read_audio_file(path, self.sr)
+                gt = _cached_voice(path, self.sr)
 
             if real_sample or voice == "fake_voice":
                 vshift = np.array(metadata[voice]["shifts"], dtype=np.float64)
