@@ -340,17 +340,31 @@ class SeparationDataset(BaseDataset):
     def __init__(self, input_dir, dataset_type, n_mics=7, n_speakers=5,
                  sr=48000, compression_prob=0.7, max_white_noise_variance=1e-3,
                  max_pink_noise_variance=5e-3, speaker_drop_prob=0.1,
-                 speaker_add_prob=0.1):
+                 speaker_add_prob=0.1, crop_seconds=0.0):
         super().__init__(input_dir, dataset_type, sr, compression_prob,
                          max_white_noise_variance, max_pink_noise_variance)
         self.n_mics = n_mics
         self.n_speakers = n_speakers
         self.speaker_drop_prob = speaker_drop_prob
         self.speaker_add_prob = speaker_add_prob
+        # Optional fixed-length crop: the networks are fully convolutional
+        # over T, so training on shorter random crops (deterministic center
+        # crop for validation) trades conformer context for activation
+        # memory — it lets full-width SepNet train on long scenes within one
+        # chip's HBM while inference still runs the full mixture.
+        self.crop_seconds = crop_seconds
 
     def __getitem__(self, idx):
         curr_dir = self.dirs[idx % len(self.dirs)]
         sources, target, num = self.get_mixture_and_gt(curr_dir)
+        if self.crop_seconds:
+            tc = int(self.crop_seconds * self.sr)
+            T = sources.shape[-1]
+            if T > tc:
+                start = (np.random.randint(0, T - tc + 1) if self.training
+                         else (T - tc) // 2)
+                sources = sources[:, start : start + tc]
+                target = target[:, start : start + tc]
         return sources.astype(np.float32), target.astype(np.float32), num
 
     def get_mixture_and_gt(self, curr_dir):
