@@ -161,6 +161,14 @@ def main():
     second = time.time() - t0
     assert second < setup_time, "warmup cache miss: second pass not faster"
 
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        # one profiled forward (excluded from timing): op-level trace for
+        # finding the next kernel-level bottleneck
+        pipe.forward(mix, profile_dir=profile_dir)
+        print(f"[bench] profiler trace written to {profile_dir}",
+              file=sys.stderr)
+
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
