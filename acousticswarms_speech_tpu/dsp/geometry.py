@@ -133,8 +133,13 @@ def build_geometry(
                             sample_resolution)
         cache_path = os.path.join(cache_dir, f"tdoa_geometry_{key}.npz")
         if os.path.exists(cache_path):
-            return _load_cache(cache_path, mic_pos, range_spk, grid_size,
-                               grid_size_z, sample_resolution)
+            try:
+                return _load_cache(cache_path, mic_pos, range_spk, grid_size,
+                                   grid_size_z, sample_resolution)
+            except Exception:
+                # corrupt/truncated cache (e.g. writer killed mid-save):
+                # fall through and rebuild + overwrite
+                pass
 
     x_grids = np.arange(range_spk[0], range_spk[1], grid_size)
     y_grids = np.arange(range_spk[2], range_spk[3], grid_size)
@@ -199,13 +204,16 @@ def build_geometry(
 
     if cache_path is not None:
         os.makedirs(cache_dir, exist_ok=True)
+        tmp_path = cache_path + f".tmp{os.getpid()}.npz"
         np.savez_compressed(
-            cache_path,
+            tmp_path,
             x_grids=x_grids, y_grids=y_grids, z_grids=z_grids, valid=valid,
             cluster_index=geom.cluster_index, cluster_offsets=cluster_offsets,
             grids=grids, dis_matrix=dis_matrix, array_border=border,
             pos5=pos5, off5=off5,
         )
+        # atomic publish: a killed writer never leaves a truncated cache
+        os.replace(tmp_path, cache_path)
     return geom
 
 
