@@ -15,6 +15,7 @@ import numpy as np
 
 def analyze(input_dir: str, verbose: bool = True) -> dict:
     dis_err_list = []
+    sample_err_list = []  # TDoA shift error per TP (eval_model.py:224)
     false_negative = false_positive = true_positive = 0
 
     n_buckets = 5  # speaker counts 2..6
@@ -43,6 +44,8 @@ def analyze(input_dir: str, verbose: bool = True) -> dict:
             mireval_improve.append(pred["si_snri_mir"])
             mireval_in.append(pred["si_snr_in_mir"])
             dis_err_list.append(pred["dis_err"])
+            if "sample_err" in pred:
+                sample_err_list.append(pred["sample_err"])
             sisnri_numspk[bucket].append(pred["si_snri"])
             loc_err_numspk[bucket].append(pred["dis_err"])
 
@@ -62,6 +65,8 @@ def analyze(input_dir: str, verbose: bool = True) -> dict:
         if dis_err_list else None,
         "loc_err_90": float(np.percentile(dis_err_list, 90))
         if dis_err_list else None,
+        "tdoa_sample_err_mean": float(np.mean(sample_err_list))
+        if sample_err_list else None,
         "sisdri_mean": float(np.mean(sisdr_improve)) if sisdr_improve else None,
         "sisdri_mir_mean": float(np.mean(mireval_improve))
         if mireval_improve else None,
