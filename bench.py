@@ -94,17 +94,22 @@ def main():
     # Full-size flagship configs.  Trained spotforming weights (when a dev
     # checkpoint exists) give representative candidate counts; otherwise the
     # deterministic random init is used.
+    def _has_weights(d):
+        return (os.path.isdir(os.path.join(d, "checkpoints"))
+                or os.path.exists(os.path.join(d, "release",
+                                               "params_f16.msgpack")))
+
     def _first_with_ckpts(*names):
         for n in names:
             d = os.path.join(REPO, "experiments", n)
-            if os.path.isdir(os.path.join(d, "checkpoints")):
+            if _has_weights(d):
                 return d
         return os.path.join(REPO, "experiments", names[0])
 
     spot_exp = os.environ.get("BENCH_SPOT_EXP") or _first_with_ckpts(
         "speech_localization", "speech_localization_stage1",
         "dev_localization")
-    if os.path.isdir(os.path.join(spot_exp, "checkpoints")):
+    if _has_weights(spot_exp):
         from acousticswarms_speech_tpu.training.experiment import (
             load_model_from_exp,
         )
@@ -121,7 +126,7 @@ def main():
     print(f"[bench] spot weights: {weights_src}", file=sys.stderr)
     sep_exp = os.environ.get("BENCH_SEP_EXP") or _first_with_ckpts(
         "speech_separation", "dev_separation")
-    if os.path.isdir(os.path.join(sep_exp, "checkpoints")):
+    if _has_weights(sep_exp):
         from acousticswarms_speech_tpu.training.experiment import (
             load_model_from_exp,
         )
