@@ -79,11 +79,15 @@ class RelPosMHAXL(nn.Module):
                         preferred_element_type=jnp.float32)
         bd_full = jnp.einsum("bhqd,rhd->bhqr", q_v, r,
                              preferred_element_type=jnp.float32)  # (B,H,T,2T-1)
-        # Gather relative position (i - j): table row index (T-1) - (i - j)
-        i = jnp.arange(T)[:, None]
-        j = jnp.arange(T)[None, :]
-        idx = (T - 1) - (i - j)  # (T, T) in [0, 2T-2]
-        bd = bd_full[:, :, i, idx]  # advanced-index gather -> (B, H, T, T)
+        # Relative-position realignment bd[..., i, j] = bd_full[..., i,
+        # (T-1) - i + j] via the pad+reshape "skew" trick (Transformer-XL) —
+        # an advanced-index gather here materializes a (T, T, B, H) gather
+        # result whose tiny minor dims tile-pad ~25x on TPU (9.6 GB for the
+        # separation bottleneck at T=1125) and the axon backend has no good
+        # gather lowering; the skew is pure pad/reshape/slice.
+        bd_pad = jnp.pad(bd_full, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        bd = bd_pad.reshape(B, H, T * 2 * T)[:, :, T:] \
+            .reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
         scores = (ac + bd) / math.sqrt(hd)
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
