@@ -50,7 +50,7 @@ def main():
         "--spot_experiment_dir", spot_dir(),
         "--sep_experiment_dir", os.path.join(REPO, args.sep_exp),
         "--results_folder", args.results_folder,
-        "--use_fp16",
+        "--use_fp16", "--cached_init",
         "--num_shards", str(args.num_shards),
         "--shard_index", str(args.shard_index),
     ]
