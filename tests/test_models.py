@@ -127,3 +127,23 @@ def test_param_count_full_size_spotnet():
     )
     n = param_count(params)
     assert 10e6 < n < 100e6, n
+
+
+def test_relpos_skew_matches_gather():
+    """The pad+reshape rel-pos skew in RelPosMHAXL must equal the reference
+    advanced-index gather bd_full[:, :, i, (T-1)-(i-j)] (the gather form
+    tile-pads 25x on TPU and is why the skew exists)."""
+    import numpy as np
+
+    B, H, T = 2, 3, 7
+    rng = np.random.default_rng(0)
+    bd_full = rng.normal(size=(B, H, T, 2 * T - 1)).astype(np.float32)
+
+    i = np.arange(T)[:, None]
+    j = np.arange(T)[None, :]
+    ref = bd_full[:, :, i, (T - 1) - (i - j)]
+
+    bd_pad = np.pad(bd_full, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    skew = bd_pad.reshape(B, H, T * 2 * T)[:, :, T:] \
+        .reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
+    np.testing.assert_array_equal(skew, ref)
