@@ -18,7 +18,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.factory import create_model
-from .checkpoints import find_checkpoints, load_params, load_state_summary
+from .checkpoints import (find_checkpoints, load_params, load_state_summary,
+                          summary_val_epochs)
+
+
+def best_checkpoint_path(summary: dict | None,
+                         our_ckpts: list[tuple[int, str]]) -> str:
+    """Pick the lowest-val-loss checkpoint from (epoch, path) pairs.
+
+    Maps the argmin over the sidecar's val-loss history to a TRUE epoch
+    number via summary_val_epochs — loss histories can start later than
+    epoch 0 after a corrupt-state recovery (see that docstring)."""
+    if summary is not None and summary["val_losses"]:
+        idx = int(np.argmin(summary["val_losses"]))
+        best_epoch = summary_val_epochs(summary)[idx]
+        by_epoch = dict(our_ckpts)
+        return by_epoch.get(best_epoch, our_ckpts[-1][1])
+    return our_ckpts[-1][1]
 
 
 def read_description(exp_dir: str) -> dict:
@@ -95,12 +111,7 @@ def load_model_from_exp(exp_dir: str, mode: str = "best",
     if our_ckpts:
         state_path = os.path.join(ckpt_dir, "state.msgpack")
         summary = load_state_summary(state_path) if mode == "best" else None
-        if summary is not None and summary["val_losses"]:
-            best_epoch = int(np.argmin(summary["val_losses"]))
-            by_epoch = dict(our_ckpts)
-            path = by_epoch.get(best_epoch, our_ckpts[-1][1])
-        else:
-            path = our_ckpts[-1][1]
+        path = best_checkpoint_path(summary, our_ckpts)
         return model, load_params(path, template)
 
     # torch fallback: pick the highest epoch

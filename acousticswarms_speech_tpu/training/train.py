@@ -181,6 +181,7 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
     )
     train_losses: list[float] = []
     val_losses: list[float] = []
+    val_epochs: list[int] = []
 
     state_path = os.path.join(checkpoints_dir, "state.msgpack")
     if os.path.exists(state_path) and latest is not None:
@@ -202,6 +203,15 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
                 val_losses = list(summary["val_losses"])
                 lr = float(summary["lr"])
                 scheduler.load_state_dict(summary["scheduler"])
+        # Epoch numbers for the loaded history: the sidecar may carry them
+        # explicitly; otherwise they end at the resumed epoch (the history
+        # can start past 0 after a recovery — checkpoints.summary_val_epochs).
+        summary = ckpt.load_state_summary(state_path)
+        if summary and len(summary["val_losses"]) == len(val_losses):
+            val_epochs = ckpt.summary_val_epochs(summary)
+        else:
+            val_epochs = list(range(start_epoch - len(val_losses),
+                                    start_epoch))
 
     # Fault tolerance = per-epoch checkpoints + auto-resume (above); an
     # interrupt mid-epoch loses at most that epoch (reference: train.py:233).
@@ -252,6 +262,7 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
 
         train_losses.append(train_loss)
         val_losses.append(test_loss)
+        val_epochs.append(epoch)
         ckpt.save_params(
             os.path.join(checkpoints_dir,
                          f"{experiment_name}_{epoch}.msgpack"), params)
@@ -264,7 +275,8 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         ckpt.save_state(state_path,
                         opt_state if save_opt else None,
                         scheduler.state_dict(),
-                        train_losses, val_losses, epoch, lr)
+                        train_losses, val_losses, epoch, lr,
+                        val_epochs=val_epochs)
         print(f"\n{'=' * 25} FINISHED EPOCH {epoch} {'=' * 25}\n")
 
     return train_losses, val_losses

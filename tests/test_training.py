@@ -252,3 +252,54 @@ def test_warm_start_from_experiment_dir(dataset_dir, tmp_path):
             jax.tree_util.tree_map(lambda a, b: jnp.allclose(a, b), loaded, p1)
         )
         assert bool(chk)
+
+
+def test_best_checkpoint_truncated_history(tmp_path):
+    """Regression: a loss history that restarted mid-run (corrupt-state
+    recovery) must map argmin to the TRUE epoch, not the list index.
+
+    Round-2 incident (VERDICT weak #1): stage-1 sidecar had epoch=8 with
+    only 5 val losses (history restarted at epoch 4); argmin index 3 is
+    epoch 7, but index-as-epoch loaded `..._3.msgpack`."""
+    from acousticswarms_speech_tpu.training.checkpoints import (
+        summary_val_epochs,
+    )
+    from acousticswarms_speech_tpu.training.experiment import (
+        best_checkpoint_path,
+    )
+
+    ckpts = [(e, f"/exp/checkpoints/exp_{e}.msgpack") for e in range(9)]
+
+    # Legacy sidecar (no val_epochs): infer epochs anchored at the LAST entry
+    legacy = {"epoch": 8,
+              "val_losses": [-0.8947, -1.1847, -1.2626, -1.4492, -1.3254]}
+    assert summary_val_epochs(legacy) == [4, 5, 6, 7, 8]
+    assert best_checkpoint_path(legacy, ckpts).endswith("exp_7.msgpack")
+
+    # New sidecar: explicit val_epochs wins
+    explicit = dict(legacy, val_epochs=[4, 5, 6, 7, 8])
+    assert best_checkpoint_path(explicit, ckpts).endswith("exp_7.msgpack")
+
+    # Contiguous-from-zero history still behaves as before
+    full = {"epoch": 4, "val_losses": [3.0, 2.0, 1.0, 1.5, 2.5]}
+    assert best_checkpoint_path(full, ckpts).endswith("exp_2.msgpack")
+
+    # Missing sidecar -> latest checkpoint
+    assert best_checkpoint_path(None, ckpts).endswith("exp_8.msgpack")
+
+    # Best epoch's file missing on disk -> fall back to latest
+    sparse = [(e, f"/exp/checkpoints/exp_{e}.msgpack") for e in (0, 8)]
+    assert best_checkpoint_path(legacy, sparse).endswith("exp_8.msgpack")
+
+
+def test_sidecar_roundtrips_val_epochs(tmp_path):
+    from acousticswarms_speech_tpu.training.checkpoints import (
+        load_state_summary, save_state, summary_val_epochs,
+    )
+
+    path = str(tmp_path / "state.msgpack")
+    save_state(path, None, {"best_loss": 0.0, "bad_epochs": 0},
+               [1.0, 0.5], [2.0, 1.0], epoch=6, lr=1e-3, val_epochs=[5, 6])
+    s = load_state_summary(path)
+    assert s["val_epochs"] == [5, 6]
+    assert summary_val_epochs(s) == [5, 6]
