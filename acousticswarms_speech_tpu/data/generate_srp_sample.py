@@ -33,8 +33,11 @@ def check_label(sample_list, sample_offsets_gt, threshold: float = 4.9):
     return negatives, positives
 
 
-def mine_sample(sample_dir: str, grid_size: float = 0.065,
+def mine_sample(sample_dir: str, grid_size: float = 0.05,
                 cache_geometry: bool = False, clip_seconds: float = 3.0):
+    """grid_size matches the production pipeline's search grid
+    (pipeline/mic_array.py) so mined negatives come from the same SRP
+    screen the trained net faces at inference."""
     metadata, mix, _ = get_items(sample_dir)
     (mics, mic_positions, sources, voice_positions, sample_offsets_gt,
      range_spk) = preprocess_metadata(metadata)
@@ -48,9 +51,14 @@ def mine_sample(sample_dir: str, grid_size: float = 0.065,
     sample_list = [p.sample_offset for p in patch_list]
     negatives, positives = check_label(sample_list, sample_offsets_gt)
 
-    with open(os.path.join(sample_dir, "challeng_sample.json"), "w") as f:
+    # Atomic write: a killed miner must never leave a truncated JSON for
+    # the fine-tune dataset's challenge sampling to trip over.
+    out = os.path.join(sample_dir, "challeng_sample.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"negative_sample": negatives,
                    "positive_sample": positives}, f, indent=4)
+    os.replace(tmp, out)
     return negatives, positives
 
 

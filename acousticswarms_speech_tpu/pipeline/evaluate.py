@@ -169,6 +169,42 @@ def get_items(curr_dir: str, denoise_gt: bool = False,
     return metadata, mixture, np.concatenate(gts)
 
 
+def degrade_mixture(mix: np.ndarray, seed: int, sr: int = FS,
+                    white_noise_variance: float = 1e-3,
+                    pink_noise_variance: float = 5e-3,
+                    shift_jitter: int = 2, codec=None) -> np.ndarray:
+    """Robot-condition proxy degradation for synthetic eval scenes.
+
+    No real robot-on-table recordings exist in this environment, so this
+    applies the robots' documented channel degradations (the same ones the
+    reference trains against, sep/training/base_dataset.py:202-239) to the
+    *mixture only* — GT stays clean, so metrics measure robustness:
+
+    - Opus round-trip per mic channel (32 kbps, complexity 0 — the robot's
+      streaming codec, sep/helpers/codec.py);
+    - additive white + pink sensor noise at the training variances;
+    - ±`shift_jitter` samples of per-mic timing error (inter-robot clock
+      sync error; the reference mic stays fixed so true TDoAs shift).
+
+    Deterministic per `seed` so clean/degraded runs pair up per scene.
+    """
+    rng = np.random.default_rng(seed)
+    out = np.array(mix, dtype=np.float32, copy=True)
+    if codec is not None:
+        for i in range(out.shape[0]):
+            out[i] = codec.apply(out[i])
+    if shift_jitter > 0:
+        for i in range(1, out.shape[0]):
+            out[i] = np.roll(
+                out[i], int(rng.integers(-shift_jitter, shift_jitter + 1)))
+    from ..utils.pink_noise import powerlaw_psd_gaussian
+
+    pink = pink_noise_variance * rng.random() * powerlaw_psd_gaussian(
+        1, out.shape, random_state=int(rng.integers(2 ** 31)))
+    white = white_noise_variance * rng.random() * rng.normal(size=out.shape)
+    return (out + pink + white).astype(np.float32)
+
+
 def compute_metrics(input_signal, est_signal, gt, permute: bool = False):
     """(reference: get_items.py:46-70) SDR via BSS-Eval + SI-SDR."""
     input_sdr, _, _, _ = bss_eval_sources(gt, input_signal,
@@ -185,7 +221,7 @@ def compute_metrics(input_signal, est_signal, gt, permute: bool = False):
 def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
                      cache_geometry: bool = False, grid_size: float = 0.05,
                      sample_filter=None, shard_index: int = 0,
-                     num_shards: int = 1):
+                     num_shards: int = 1, degrade: bool = False):
     """Run the pipeline over every sample dir; returns aggregate counters.
 
     `model` is a JointPipeline (pipeline/joint.py).
@@ -193,8 +229,18 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
     The eval workload is embarrassingly parallel across mixtures
     (SURVEY.md §2.4): `shard_index`/`num_shards` split the sample list for
     multi-host data-parallel sweeps; per-sample result JSONs merge by
-    concatenation and analyze.py aggregates them."""
+    concatenation and analyze.py aggregates them.
+
+    `degrade=True` runs the robot-condition proxy (see `degrade_mixture`):
+    the mixture is degraded with Opus + noise + timing jitter before the
+    pipeline sees it, while GT and metrics stay clean-referenced."""
     all_tp, all_fn, all_fp = [], [], []
+    codec = None
+    if degrade:
+        from ..constants import CHANNELS_PER_MIC, CODEC_FRAME_DURATION_S
+        from ..utils.codec import OpusCodec
+
+        codec = OpusCodec(CHANNELS_PER_MIC, FS, CODEC_FRAME_DURATION_S)
 
     for k, sample_no in enumerate(list_top_level_directories(dataset_dir)):
         if k % num_shards != shard_index:
@@ -207,6 +253,11 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
 
         metadata, mix, gt = get_items(curr, denoise_gt=True,
                                       generate_denoised=True)
+        if degrade:
+            import zlib
+
+            mix = degrade_mixture(
+                mix, seed=zlib.crc32(sample_no.encode()), codec=codec)
         (mics, mic_positions, sources, gt_speaker_positions,
          sample_offsets_gt, speaker_range) = preprocess_metadata(metadata)
         gt_num_speakers = gt_speaker_positions.shape[0]
@@ -331,6 +382,9 @@ def main():
     parser.add_argument("--results_folder", type=str, default=None)
     parser.add_argument("--shard_index", type=int, default=0)
     parser.add_argument("--num_shards", type=int, default=1)
+    parser.add_argument("--degrade", action="store_true",
+                        help="robot-condition proxy: Opus + noise + timing "
+                             "jitter on the mixture (GT stays clean)")
     args = parser.parse_args()
 
     from .joint import JointPipeline
@@ -341,7 +395,8 @@ def main():
     )
     evaluate_dataset(model, args.dataset, results_folder=args.results_folder,
                      cache_geometry=args.cached_init,
-                     shard_index=args.shard_index, num_shards=args.num_shards)
+                     shard_index=args.shard_index, num_shards=args.num_shards,
+                     degrade=args.degrade)
 
 
 if __name__ == "__main__":

@@ -209,3 +209,39 @@ def test_on_the_fly_gt_denoising(tmp_path):
     (d2 / "metadata.json").write_text(json.dumps(meta))
     get_items(str(d2), denoise_gt=True, generate_denoised=True, sr=sr)
     assert not os.path.exists(d2 / "mic00_voice00_denoised.wav")
+
+
+def test_degrade_mixture_robot_proxy():
+    """Robot-condition proxy (VERDICT r2 #7): deterministic per seed, adds
+    bounded noise + per-mic timing jitter, keeps the reference mic unshifted,
+    and never touches its input."""
+    from acousticswarms_speech_tpu.pipeline.evaluate import degrade_mixture
+
+    rng = np.random.default_rng(7)
+    t = np.arange(9600)
+    mix = np.stack([np.sin(2 * np.pi * 440 * t / 48000 + p)
+                    for p in np.linspace(0, 1, 4)]).astype(np.float32)
+    mix += 0.01 * rng.normal(size=mix.shape).astype(np.float32)
+    orig = mix.copy()
+
+    d1 = degrade_mixture(mix, seed=123)
+    d2 = degrade_mixture(mix, seed=123)
+    d3 = degrade_mixture(mix, seed=124)
+    np.testing.assert_array_equal(mix, orig)          # input untouched
+    np.testing.assert_array_equal(d1, d2)             # deterministic
+    assert not np.array_equal(d1, d3)                 # seed-sensitive
+    assert d1.dtype == np.float32
+
+    # jitter applies to non-reference mics only; recoverable by cross-corr
+    dj = degrade_mixture(mix, seed=5, white_noise_variance=0.0,
+                         pink_noise_variance=0.0, shift_jitter=2, codec=None)
+    np.testing.assert_allclose(dj[0], mix[0], atol=1e-6)
+    for i in range(1, mix.shape[0]):
+        best = max(range(-2, 3),
+                   key=lambda s: float(np.dot(dj[i], np.roll(mix[i], s))))
+        np.testing.assert_allclose(dj[i], np.roll(mix[i], best), atol=1e-6)
+
+    # noise level is bounded by the configured variances
+    dn = degrade_mixture(mix, seed=9, shift_jitter=0, codec=None)
+    err = dn - mix
+    assert np.sqrt(np.mean(err ** 2)) < 0.02
