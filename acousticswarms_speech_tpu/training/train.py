@@ -79,6 +79,30 @@ def make_step_fns(model, model_name: str, loss_name: str,
     return optimizer, train_step, eval_step
 
 
+def _device_prefetch(iterable, depth: int = 2):
+    """Double-buffer host batches onto the device.
+
+    `jax.device_put` enqueues an async H2D copy; by keeping `depth` batches
+    in flight, the (slow-relay) transfer of batch k+1 overlaps the compute
+    of batch k instead of serializing in front of it.  Yields tuples of
+    device arrays in the original order.  Bounded: at most `depth` batches
+    of device memory beyond the one being consumed."""
+    from collections import deque
+
+    q: deque = deque()
+    it = iter(iterable)
+
+    def enqueue(b):
+        q.append(tuple(jax.device_put(jnp.asarray(x)) for x in b))
+
+    for b in it:
+        enqueue(b)
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def _sisdr_metrics(model, model_name, params, batch):
     """Validation SI-SDR metrics on positive samples (reference
     SpeakerLocalization/train.py:15-46)."""
@@ -98,13 +122,18 @@ def _sisdr_metrics(model, model_name, params, batch):
         est = np.asarray(out).reshape(B * S, T)
         ref = gt.reshape(B * S, T)
         orig = np.repeat(data[:, 0:1], S, axis=1).reshape(B * S, T)
-    mask = np.abs(ref).max(axis=1) > 0
-    metrics = []
-    for i in np.flatnonzero(mask):
-        in_sisdr = -float(neg_sdr(orig[None, i], ref[None, i], "sisdr"))
-        out_sisdr = -float(neg_sdr(est[None, i], ref[None, i], "sisdr"))
-        metrics.append({"input_si_sdr": in_sisdr, "si_sdr": out_sisdr})
-    return metrics
+    idx = np.flatnonzero(np.abs(ref).max(axis=1) > 0)
+    if idx.size == 0:
+        return []
+    # Two batched dispatches for the whole masked set (a per-item loop here
+    # cost one device round-trip per sample at reference-scale validation).
+    ref_m = jnp.asarray(np.asarray(ref)[idx])
+    in_sisdr = -np.asarray(neg_sdr(jnp.asarray(np.asarray(orig)[idx]),
+                                   ref_m, "sisdr"))
+    out_sisdr = -np.asarray(neg_sdr(jnp.asarray(np.asarray(est)[idx]),
+                                    ref_m, "sisdr"))
+    return [{"input_si_sdr": float(a), "si_sdr": float(b)}
+            for a, b in zip(in_sisdr, out_sisdr)]
 
 
 def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
@@ -220,10 +249,9 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         print(f"\n{'=' * 25} STARTING EPOCH {epoch} {'=' * 25}\n")
         t1 = time.time()
         epoch_loss, n_batches = 0.0, 0
-        for batch_idx, batch in enumerate(train_loader):
+        for batch_idx, batch in enumerate(_device_prefetch(train_loader)):
             if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
                 break
-            batch = tuple(jnp.asarray(b) for b in batch)
             params, opt_state, loss = train_step(params, opt_state, batch)
             epoch_loss += float(loss)
             n_batches += 1

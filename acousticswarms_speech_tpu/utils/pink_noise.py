@@ -40,8 +40,17 @@ def powerlaw_psd_gaussian(exponent: float, size, fmin: float = 0.0,
     s_scale = s_scale[(np.newaxis,) * dims_to_add + (Ellipsis,)]
 
     rng = _as_rng(random_state)
-    sr = rng.normal(scale=s_scale, size=size)
-    si = rng.normal(scale=s_scale, size=size)
+    # standard_normal(dtype=float32) * scale is ~10x faster than
+    # Generator.normal(scale=<array>) (which draws per-element in float64)
+    # and this runs in the training data-prep hot loop (perturb_audio) on a
+    # single host core; float32 keeps the irfft in complex64.
+    s_scale = s_scale.astype(np.float32)
+    if isinstance(rng, np.random.RandomState):
+        sr = rng.normal(size=size).astype(np.float32) * s_scale
+        si = rng.normal(size=size).astype(np.float32) * s_scale
+    else:
+        sr = rng.standard_normal(size, dtype=np.float32) * s_scale
+        si = rng.standard_normal(size, dtype=np.float32) * s_scale
 
     if not (samples % 2):
         si[..., -1] = 0
@@ -49,7 +58,7 @@ def powerlaw_psd_gaussian(exponent: float, size, fmin: float = 0.0,
     si[..., 0] = 0
     sr[..., 0] *= np.sqrt(2)
 
-    s = sr + 1j * si
+    s = (sr + 1j * si).astype(np.complex64)
     return np.fft.irfft(s, n=samples, axis=-1) / sigma
 
 

@@ -303,3 +303,18 @@ def test_sidecar_roundtrips_val_epochs(tmp_path):
     s = load_state_summary(path)
     assert s["val_epochs"] == [5, 6]
     assert summary_val_epochs(s) == [5, 6]
+
+
+def test_device_prefetch_order_and_values():
+    """_device_prefetch must yield every batch, in order, as device arrays."""
+    import numpy as np
+
+    from acousticswarms_speech_tpu.training.train import _device_prefetch
+
+    batches = [(np.full((2, 3), i, np.float32), np.asarray([i])) for i in range(7)]
+    out = list(_device_prefetch(iter(batches), depth=2))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        assert float(b[0][0, 0]) == i and int(b[1][0]) == i
+    # empty iterator
+    assert list(_device_prefetch(iter([]))) == []
