@@ -102,11 +102,61 @@ def analyze(input_dir: str, verbose: bool = True) -> dict:
     return out
 
 
+def bootstrap_ci(input_dir: str, n_boot: int = 2000, seed: int = 0,
+                 alpha: float = 0.05) -> dict:
+    """Scene-level bootstrap 95% CIs for the headline metrics.
+
+    Resamples whole scenes (the independent unit — per-speaker metrics
+    within a scene are correlated through the shared mixture/search), so the
+    intervals honestly reflect eval-set size; VERDICT r2 flagged that point
+    estimates off ~40 scenes can't resolve ±0.1 dB claims."""
+    rng = np.random.default_rng(seed)
+    scenes = []
+    for result_path in sorted(glob.glob(input_dir + "/result*.json")):
+        with open(result_path) as f:
+            r = json.load(f)
+        scenes.append({
+            "tp": len(r["pred"]),
+            "fn": len(r["gt"]) - len(r["pred"]),
+            "fp": len(r["false_positive"]),
+            "dis": [p["dis_err"] for p in r["pred"]],
+            "sisdri": [p["si_snri"] for p in r["pred"]],
+        })
+    if not scenes:
+        return {}
+
+    stats = {"precision": [], "recall": [], "loc_err_median": [],
+             "sisdri_mean": []}
+    n = len(scenes)
+    for _ in range(n_boot):
+        pick = rng.integers(0, n, size=n)
+        tp = sum(scenes[i]["tp"] for i in pick)
+        fp = sum(scenes[i]["fp"] for i in pick)
+        fn = sum(scenes[i]["fn"] for i in pick)
+        dis = [d for i in pick for d in scenes[i]["dis"]]
+        sis = [s for i in pick for s in scenes[i]["sisdri"]]
+        stats["precision"].append(tp / max(tp + fp, 1))
+        stats["recall"].append(tp / max(tp + fn, 1))
+        if dis:
+            stats["loc_err_median"].append(float(np.median(dis)))
+        if sis:
+            stats["sisdri_mean"].append(float(np.mean(sis)))
+    lo, hi = 100 * alpha / 2, 100 * (1 - alpha / 2)
+    return {k: [float(np.percentile(v, lo)), float(np.percentile(v, hi))]
+            for k, v in stats.items() if v}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("input_dir", type=str)
+    parser.add_argument("--bootstrap", action="store_true",
+                        help="print scene-level bootstrap 95%% CIs")
     args = parser.parse_args()
     analyze(args.input_dir)
+    if args.bootstrap:
+        ci = bootstrap_ci(args.input_dir)
+        for k, (lo, hi) in ci.items():
+            print(f"{k} 95% CI: [{lo:.4f}, {hi:.4f}]")
 
 
 if __name__ == "__main__":

@@ -245,3 +245,37 @@ def test_degrade_mixture_robot_proxy():
     dn = degrade_mixture(mix, seed=9, shift_jitter=0, codec=None)
     err = dn - mix
     assert np.sqrt(np.mean(err ** 2)) < 0.02
+
+
+def test_bootstrap_ci(tmp_path):
+    """CIs must bracket the point estimate and shrink with more scenes."""
+    import json as _json
+
+    from acousticswarms_speech_tpu.pipeline.analyze import analyze, bootstrap_ci
+
+    rng = np.random.default_rng(0)
+
+    def write(n, d):
+        for i in range(n):
+            r = {"gt": [{}] * 3,
+                 "pred": [{"dis_err": float(rng.uniform(0.1, 0.5)),
+                           "si_snri": float(rng.normal(4, 1)),
+                           "sample_err": 1.0, "si_snr_in": 0.0,
+                           "si_snr_in_mir": 0.0, "si_snri_mir": 4.0,
+                           "si_snr_in_old": 0.0, "si_snri_old": 3.0}] * 2,
+                 "false_positive": [{}] * (i % 2)}
+            (d / f"result_{i:05d}.json").write_text(_json.dumps(r))
+
+    small, big = tmp_path / "small", tmp_path / "big"
+    small.mkdir(); big.mkdir()
+    write(8, small); write(200, big)
+
+    for d in (small, big):
+        pt = analyze(str(d), verbose=False)
+        ci = bootstrap_ci(str(d), n_boot=300)
+        assert ci["precision"][0] <= pt["precision"] <= ci["precision"][1]
+        assert ci["recall"][0] <= pt["recall"] <= ci["recall"][1]
+
+    w_small = np.diff(bootstrap_ci(str(small), n_boot=300)["precision"])[0]
+    w_big = np.diff(bootstrap_ci(str(big), n_boot=300)["precision"])[0]
+    assert w_big < w_small
