@@ -232,11 +232,15 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
                 val_losses = list(summary["val_losses"])
                 lr = float(summary["lr"])
                 scheduler.load_state_dict(summary["scheduler"])
-        # Epoch numbers for the loaded history: the sidecar may carry them
-        # explicitly; otherwise they end at the resumed epoch (the history
-        # can start past 0 after a recovery — checkpoints.summary_val_epochs).
+        # Epoch numbers for the loaded history: the JSON sidecar is written
+        # every epoch while the binary state's loss lists refresh only when
+        # the optimizer state is saved (SWARM_OPT_STATE_EVERY) — so when the
+        # sidecar's history is at least as long, it is the fresher record
+        # and carries explicit epochs (checkpoints.summary_val_epochs).
         summary = ckpt.load_state_summary(state_path)
-        if summary and len(summary["val_losses"]) == len(val_losses):
+        if summary and len(summary["val_losses"]) >= len(val_losses):
+            train_losses = list(summary["train_losses"])
+            val_losses = list(summary["val_losses"])
             val_epochs = ckpt.summary_val_epochs(summary)
         else:
             val_epochs = list(range(start_epoch - len(val_losses),

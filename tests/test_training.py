@@ -318,3 +318,43 @@ def test_device_prefetch_order_and_values():
         assert float(b[0][0, 0]) == i and int(b[1][0]) == i
     # empty iterator
     assert list(_device_prefetch(iter([]))) == []
+
+
+def test_resume_prefers_fresher_sidecar_history(tmp_path):
+    """The binary state refreshes its loss lists only when the optimizer
+    state is saved (every SWARM_OPT_STATE_EVERY epochs) while the sidecar
+    is written every epoch.  A resume that takes the binary's stale, shorter
+    history and anchors it at the resume epoch mislabels entries (observed
+    live in round 3: epoch-4/5 losses labeled 7/8).  The sidecar must win
+    whenever its history is at least as long."""
+    import optax
+
+    from acousticswarms_speech_tpu.training.checkpoints import (
+        load_state, load_state_summary, save_state, summary_val_epochs,
+    )
+
+    path = str(tmp_path / "state.msgpack")
+    opt = optax.adam(1e-3)
+    opt_state = opt.init({"w": np.zeros(3, np.float32)})
+    sched = {"best_loss": -1.0, "bad_epochs": 0}
+
+    # epoch 5: full save (binary + sidecar), 2-entry history
+    save_state(path, opt_state, sched, [0.5, 0.4], [-0.89, -1.18],
+               epoch=5, lr=3e-4, val_epochs=[4, 5])
+    # epochs 6-8: sidecar-only saves (opt_state=None)
+    save_state(path, None, sched, [0.5, 0.4, 0.3, 0.2, 0.1],
+               [-0.89, -1.18, -1.26, -1.45, -1.33],
+               epoch=8, lr=3e-4, val_epochs=[4, 5, 6, 7, 8])
+
+    binary = load_state(path, opt_state)
+    summary = load_state_summary(path)
+    assert len(np.asarray(binary["val_losses"])) == 2      # stale
+    assert len(summary["val_losses"]) == 5                 # fresh
+    assert summary_val_epochs(summary) == [4, 5, 6, 7, 8]
+
+    # the train() resume rule: sidecar history wins when >= binary's
+    val_losses = list(np.asarray(binary["val_losses"]))
+    assert len(summary["val_losses"]) >= len(val_losses)
+    chosen = summary["val_losses"]
+    eps = summary_val_epochs(summary)
+    assert eps[int(np.argmin(chosen))] == 7
