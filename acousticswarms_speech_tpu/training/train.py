@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +38,46 @@ from .schedulers import ReduceLROnPlateau
 
 VAL_SEED = 0
 
+# The axon relay client leaks every H2D transfer's payload in host RSS
+# (measured: ~payload MB leaked per device_put, unrecoverable by gc).  Two
+# mitigations: large float32 batch tensors are shipped as int16 + scale
+# (Quantized, halves the leak and the slow-relay transfer time; the
+# 2^-15 full-scale quantization step is ~-90 dB, far below the -30 dB
+# training noise floor), and the epoch loop exits with code 75 when RSS
+# crosses ACOUSTIC_RSS_EXIT_GB so scripts/train_until_done.sh can restart
+# the process (auto-resume continues from the last epoch).
+RSS_EXIT_CODE = 75
+_RSS_EXIT_GB = float(os.environ.get("ACOUSTIC_RSS_EXIT_GB", "80"))
+_QUANT_MIN_BYTES = 1 << 20
+
+
+class Quantized(NamedTuple):
+    """A float32 tensor shipped host->device as int16 plus a scale."""
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def _quantize_host(x: np.ndarray) -> Quantized:
+    scale = np.float32(max(float(np.max(np.abs(x))), 1e-30) / 32767.0)
+    q = np.clip(np.round(x * (1.0 / scale)), -32768, 32767).astype(np.int16)
+    return Quantized(q, scale)
+
+
+def _dequant(b):
+    if isinstance(b, Quantized):
+        return b.q.astype(jnp.float32) * b.scale
+    return b
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/statm") as f:
+            return (int(f.read().split()[1])
+                    * os.sysconf("SC_PAGE_SIZE") / 1e9)
+    except OSError:
+        return 0.0
+
+
 DATASET_REGISTRY = {
     "SpeakerLocalization": LocalizationDataset,
     "SpeakerSeparation": SeparationDataset,
@@ -47,6 +89,7 @@ def make_step_fns(model, model_name: str, loss_name: str,
     loss_fn = get_loss_fn(loss_name)
 
     def compute_loss(params, batch):
+        batch = tuple(_dequant(b) for b in batch)
         if model_name == "SpeakerLocalization":
             data, gt, window = batch
             normed, means, stds = normalize_input(data)
@@ -93,7 +136,16 @@ def _device_prefetch(iterable, depth: int = 2):
     it = iter(iterable)
 
     def enqueue(b):
-        q.append(tuple(jax.device_put(jnp.asarray(x)) for x in b))
+        out = []
+        for x in b:
+            if (isinstance(x, np.ndarray) and x.dtype == np.float32
+                    and x.nbytes >= _QUANT_MIN_BYTES):
+                qz = _quantize_host(x)
+                out.append(Quantized(jax.device_put(qz.q),
+                                     jax.device_put(qz.scale)))
+            else:
+                out.append(jax.device_put(jnp.asarray(x)))
+        q.append(tuple(out))
 
     for b in it:
         enqueue(b)
@@ -264,7 +316,7 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
                       f"Loss: {float(loss):.6f}")
         train_loss = epoch_loss / max(n_batches, 1)
         print(f"Train epoch time: {time.time() - t1:.02f}s  "
-              f"loss {train_loss:.4f}")
+              f"loss {train_loss:.4f}  rss {_rss_gb():.1f}G")
 
         # Validation with fixed seed (reference train.py:193-195)
         seed_all(VAL_SEED)
@@ -302,14 +354,24 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         # runtime its per-epoch transfer dominates the epoch, so it is saved
         # periodically (resume tolerates a fresh optimizer).  Loss histories
         # and scheduler state stay per-epoch via the JSON sidecar.
+        rss = _rss_gb()
+        rss_exit = (_RSS_EXIT_GB > 0 and rss > _RSS_EXIT_GB
+                    and epoch < training_params["epochs"] - 1)
         save_opt = (epoch % int(os.environ.get("SWARM_OPT_STATE_EVERY", "5"))
-                    == 0) or epoch == training_params["epochs"] - 1
+                    == 0) or epoch == training_params["epochs"] - 1 \
+            or rss_exit
         ckpt.save_state(state_path,
                         opt_state if save_opt else None,
                         scheduler.state_dict(),
                         train_losses, val_losses, epoch, lr,
                         val_epochs=val_epochs)
         print(f"\n{'=' * 25} FINISHED EPOCH {epoch} {'=' * 25}\n")
+
+        if rss_exit:
+            print(f"RSS {rss:.1f}G > {_RSS_EXIT_GB:.0f}G (relay H2D leak); "
+                  f"exiting {RSS_EXIT_CODE} for wrapper restart.")
+            sys.stdout.flush()
+            sys.exit(RSS_EXIT_CODE)
 
     return train_losses, val_losses
 
@@ -334,7 +396,12 @@ if __name__ == "__main__":
     parser.add_argument("experiment_dir", type=str)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--print_interval", type=int, default=20)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the session pins "
+                             "JAX_PLATFORMS=axon via sitecustomize)")
     args = parser.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     _enable_compilation_cache()
     train(args.experiment_dir, seed=args.seed,
           print_interval=args.print_interval)

@@ -320,6 +320,27 @@ def test_device_prefetch_order_and_values():
     assert list(_device_prefetch(iter([]))) == []
 
 
+def test_device_prefetch_quantizes_large_float32():
+    """Large float32 tensors ship as int16 Quantized (relay H2D leak is
+    proportional to transferred bytes); small/int tensors pass through, and
+    _dequant recovers the values within half a quantization step."""
+    import numpy as np
+
+    from acousticswarms_speech_tpu.training.train import (
+        Quantized, _dequant, _device_prefetch)
+
+    rng = np.random.default_rng(0)
+    big = rng.standard_normal((2, 7, 40000)).astype(np.float32) * 0.4
+    small = np.asarray([3], np.int32)
+    (out,) = list(_device_prefetch(iter([(big, small)]), depth=1))
+    assert isinstance(out[0], Quantized)
+    assert out[0].q.dtype == np.int16
+    assert not isinstance(out[1], Quantized)
+    back = np.asarray(_dequant(out[0]))
+    assert np.abs(back - big).max() <= float(out[0].scale) * 0.51
+    assert int(out[1][0]) == 3
+
+
 def test_resume_prefers_fresher_sidecar_history(tmp_path):
     """The binary state refreshes its loss lists only when the optimizer
     state is saved (every SWARM_OPT_STATE_EVERY epochs) while the sidecar
