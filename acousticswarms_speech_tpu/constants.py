@@ -4,6 +4,8 @@ TPU-native rebuild of the constants plane of the reference implementation
 (see /root/reference/sep/helpers/constants.py:1-47).  Values are part of the
 measured-configuration contract (BASELINE.md) and must not drift.
 """
+import os
+
 import numpy as np
 
 # Universal constants
@@ -36,9 +38,16 @@ MAX_BIG_PATCH = 30
 MIN_WIDTH_REQUIRED = 2
 
 LOC_MODEL_THRESHOLD = 0.6
-USE_RELATIVE_SPOT_POWER = False
-SPOT_POWER_THRESHOLD1 = 0.008
-SPOT_POWER_THRESHOLD2 = 0.01
+# The spot-power thresholds are the candidate-count knobs of the coarse and
+# fine search stages; they must track the trained net's power dynamic range
+# (an under-trained net has a flat range and passes everything).  Overridable
+# via env so an eval sweep can re-tune them without a code edit.
+USE_RELATIVE_SPOT_POWER = (
+    os.environ.get("USE_RELATIVE_SPOT_POWER", "0") == "1")
+SPOT_POWER_THRESHOLD1 = float(
+    os.environ.get("SPOT_POWER_THRESHOLD1", "0.008"))
+SPOT_POWER_THRESHOLD2 = float(
+    os.environ.get("SPOT_POWER_THRESHOLD2", "0.01"))
 SI_SNR_POWER_THRESHOLD = 4e-3
 
 # Energy threshold to avoid choosing silence when generating hardware data

@@ -16,6 +16,7 @@ import os
 import numpy as np
 
 from ..constants import FS, SPEED_OF_SOUND
+from ..search import power_trace
 from ..utils import (
     list_top_level_directories,
     read_audio_file,
@@ -360,6 +361,13 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
             with open(os.path.join(results_folder,
                                    f"result_{sample_no}.json"), "w") as f:
                 json.dump(save_data, f, indent=4)
+            if power_trace.ENABLED:
+                with open(os.path.join(results_folder,
+                                       f"trace_{sample_no}.json"), "w") as f:
+                    json.dump({
+                        "sample_offsets_gt": sample_offsets_gt.tolist(),
+                        "records": power_trace.drain(),
+                    }, f)
 
         print(f"False positive = {fp}; False negative = {fn}; "
               f"True positive = {tp}")

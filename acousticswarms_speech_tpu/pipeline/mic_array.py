@@ -28,6 +28,7 @@ from ..constants import (
 )
 from ..dsp.geometry import build_geometry
 from ..dsp.patch import Patch
+from ..search import power_trace
 from ..search.clustering import clustering_nms, find_merge_center, weight_mean_pos
 from ..search.srp_pruning import SrpEngine
 from ..search.subdivide import binary_search_baseline, search_area
@@ -189,6 +190,12 @@ class MicArray:
             center = candidate_finished[i].center_pos()
             d = (np.linalg.norm(center - self.mic_positions[0])
                  if center is not None and center.shape[0] == 3 else 4.0)
+            if power_trace.ENABLED:
+                power_trace.record(
+                    "fine",
+                    big_offset=np.asarray(big_offset).tolist(),
+                    max_power_win=float(np.amax(powers2)),
+                    dis=float(d))
             if np.amax(powers2) < spot_power_threshold / (1 + d):
                 continue
 

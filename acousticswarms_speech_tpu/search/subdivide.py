@@ -20,6 +20,7 @@ from ..constants import (
 )
 from ..dsp.patch import Patch
 from ..utils.shift import sample_offsets_for
+from . import power_trace
 
 
 def search_area(patch_list: list[Patch], mic_positions: np.ndarray,
@@ -151,6 +152,13 @@ def binary_search_baseline(mix_data: np.ndarray, spot_model, patch_list,
 
     sort_idx = np.argsort(-np.array(powers_win))
     max_power_with_dis = max(powers_with_dis)
+    if power_trace.ENABLED:
+        power_trace.record(
+            "coarse",
+            offsets=[np.asarray(p.sample_offset).tolist()
+                     for p in patch_list],
+            powers_win=[float(x) for x in powers_win],
+            powers_with_dis=[float(x) for x in powers_with_dis])
     if USE_RELATIVE_SPOT_POWER:
         relative_threshold = min(0.4 * max_power_with_dis, SPOT_POWER_THRESHOLD1)
     else:

@@ -199,7 +199,8 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
     }))
     print(f"[bench] setup+warmup {setup_time:.1f}s; per-mixture {elapsed:.3f}s "
-          f"(median of {REPEATS}, IQR {spread:.3f}s, "
+          f"= {DURATION_S / elapsed:.2f}x realtime on the {DURATION_S:.0f}s "
+          f"scene (median of {REPEATS}, IQR {spread:.3f}s, "
           f"all {['%.2f' % t for t in times]}); "
           f"stage times {['%.3f' % t for t in pipe.times]}; "
           f"clusters {len(patches)}; spot calls {spot_calls}; "

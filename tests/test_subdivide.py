@@ -66,3 +66,33 @@ def test_binary_split_halves_width_and_preserves_points():
         assert np.min(c.width_list) == parent_width / 2
         assert c.area_size() > 0
     assert sum(c.area_size() for c in children) >= patch.area_size() * 0.9
+
+
+def test_power_trace_records_coarse_decision(monkeypatch):
+    """With tracing enabled, binary_search_baseline records every candidate's
+    offsets and distance-compensated powers (consumed by
+    scripts/tune_thresholds.py for offline threshold re-tuning)."""
+    from acousticswarms_speech_tpu.search import power_trace
+    from acousticswarms_speech_tpu.search.subdivide import (
+        binary_search_baseline,
+    )
+
+    monkeypatch.setattr(power_trace, "ENABLED", True)
+    power_trace.drain()
+
+    geom = build_geometry(MIC, ROI, grid_size=0.1)
+    patches = [_initial_patch(geom, np.array([4.5, 2.5, 0.4])),
+               _initial_patch(geom, np.array([2.0, 3.0, 0.3]))]
+
+    class FakeSweep:
+        powers = [1.0, 0.5]
+        powers_win = [0.02, 0.001]
+
+    kept, powers_with_dis, rel = binary_search_baseline(
+        None, None, patches, MIC, sweep=FakeSweep())
+    recs = power_trace.drain()
+    assert len(recs) == 1 and recs[0]["stage"] == "coarse"
+    assert len(recs[0]["offsets"]) == 2
+    assert recs[0]["powers_win"] == [0.02, 0.001]
+    assert recs[0]["powers_with_dis"] == [float(p) for p in powers_with_dis]
+    assert power_trace.drain() == []  # drained
