@@ -389,10 +389,19 @@ def main():
     parser.add_argument("--cached_init", action="store_true")
     parser.add_argument("--results_folder", type=str, default=None)
     parser.add_argument("--shard_index", type=int, default=0)
+    parser.add_argument("--shard_indices", type=str, default=None,
+                        help="comma list of shard indices to run sequentially "
+                             "in THIS process (one compile pays for all); "
+                             "overrides --shard_index")
     parser.add_argument("--num_shards", type=int, default=1)
     parser.add_argument("--degrade", action="store_true",
                         help="robot-condition proxy: Opus + noise + timing "
                              "jitter on the mixture (GT stays clean)")
+    parser.add_argument("--degrade_shard_indices", type=str, default=None,
+                        help="after the clean shards, rerun these shard "
+                             "indices with --degrade semantics into "
+                             "<results_folder>_degraded (same compiled "
+                             "programs, no second process)")
     args = parser.parse_args()
 
     from .joint import JointPipeline
@@ -401,10 +410,21 @@ def main():
         args.spot_experiment_dir, args.sep_experiment_dir,
         spot_batch_size=args.spot_batch_size, use_bf16=args.use_fp16,
     )
-    evaluate_dataset(model, args.dataset, results_folder=args.results_folder,
-                     cache_geometry=args.cached_init,
-                     shard_index=args.shard_index, num_shards=args.num_shards,
-                     degrade=args.degrade)
+    shards = ([int(s) for s in args.shard_indices.split(",")]
+              if args.shard_indices else [args.shard_index])
+    for si in shards:
+        evaluate_dataset(model, args.dataset,
+                         results_folder=args.results_folder,
+                         cache_geometry=args.cached_init,
+                         shard_index=si, num_shards=args.num_shards,
+                         degrade=args.degrade)
+    if args.degrade_shard_indices:
+        folder = ((args.results_folder or "results") + "_degraded")
+        for si in [int(s) for s in args.degrade_shard_indices.split(",")]:
+            evaluate_dataset(model, args.dataset, results_folder=folder,
+                             cache_geometry=args.cached_init,
+                             shard_index=si, num_shards=args.num_shards,
+                             degrade=True)
 
 
 if __name__ == "__main__":

@@ -279,3 +279,38 @@ def test_bootstrap_ci(tmp_path):
     w_small = np.diff(bootstrap_ci(str(small), n_boot=300)["precision"])[0]
     w_big = np.diff(bootstrap_ci(str(big), n_boot=300)["precision"])[0]
     assert w_big < w_small
+
+
+def test_eval_cli_multi_shard_one_process(monkeypatch):
+    """--shard_indices runs several shards (and optional degraded passes)
+    inside ONE process, so the remote-compile cost is paid once."""
+    from acousticswarms_speech_tpu.pipeline import evaluate as ev
+
+    calls = []
+
+    def fake_eval(model, dataset, results_folder=None, cache_geometry=False,
+                  shard_index=0, num_shards=1, degrade=False, **kw):
+        calls.append((shard_index, num_shards, degrade, results_folder))
+        return {"tp": 0, "fp": 0, "fn": 0}
+
+    class _FakePipe:
+        @staticmethod
+        def from_experiments(*a, **k):
+            return object()
+
+    monkeypatch.setattr(ev, "evaluate_dataset", fake_eval)
+    import acousticswarms_speech_tpu.pipeline.joint as joint
+
+    monkeypatch.setattr(joint, "JointPipeline", _FakePipe)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["evaluate", "ds", "--spot_experiment_dir", "x",
+         "--sep_experiment_dir", "y", "--num_shards", "3",
+         "--shard_indices", "0,1,2", "--results_folder", "res",
+         "--degrade_shard_indices", "1"])
+    ev.main()
+
+    assert calls == [
+        (0, 3, False, "res"), (1, 3, False, "res"), (2, 3, False, "res"),
+        (1, 3, True, "res_degraded"),
+    ]
