@@ -399,9 +399,16 @@ if __name__ == "__main__":
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the session pins "
                              "JAX_PLATFORMS=axon via sitecustomize)")
+    parser.add_argument("--max_steps_per_epoch", type=int, default=None,
+                        help="cap train/val batches per epoch; with the "
+                             "shuffled BatchLoader each capped epoch is a "
+                             "fresh random corpus subset — keeps epoch wall "
+                             "time (and checkpoint cadence) bounded as the "
+                             "corpus grows")
     args = parser.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     _enable_compilation_cache()
     train(args.experiment_dir, seed=args.seed,
-          print_interval=args.print_interval)
+          print_interval=args.print_interval,
+          max_steps_per_epoch=args.max_steps_per_epoch)
