@@ -201,12 +201,23 @@ class MicArray:
 
             # Candidates that can participate in clustering
             passing = set()
+            n_pass_p2 = 0
             for j in range(len(patch_processed)):
                 d_id = np.linalg.norm(patch_processed[j].center_pos()
                                       - self.mic_positions[0])
-                if (powers2[j] >= spot_power_threshold / (1 + d_id)
-                        and powers[j] >= min_trigger_power2):
-                    passing.add(j)
+                if powers2[j] >= spot_power_threshold / (1 + d_id):
+                    n_pass_p2 += 1
+                    if powers[j] >= min_trigger_power2:
+                        passing.add(j)
+            if power_trace.ENABLED:
+                power_trace.record(
+                    "fine_pass",
+                    big_label=big_label,
+                    n_sub=len(patch_processed),
+                    n_pass_p2=n_pass_p2,
+                    n_pass_trigger=len(passing),
+                    max_power_full=float(np.amax(powers)),
+                    min_trigger_power2=float(min_trigger_power2))
             if not passing:
                 continue
 
@@ -228,6 +239,9 @@ class MicArray:
                         break
                 if unique:
                     clusters[_id] = [_id]
+            if power_trace.ENABLED:
+                power_trace.record("fine_clusters", big_label=big_label,
+                                   n_clusters=len(clusters))
             if len(clusters) <= 0:
                 continue
 

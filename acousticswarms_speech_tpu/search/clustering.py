@@ -16,6 +16,29 @@ import numpy as np
 from ..constants import FS, SPEED_OF_SOUND
 from ..dsp.patch import Patch
 from ..utils.metrics import si_sdr, split_wav, split_wise_sisdr
+from . import power_trace
+
+
+import os
+
+# Final-NMS merge thresholds (reference constants: Mic_Array.py:18-28,:442).
+# They encode the trained net's off-target leakage profile, so like the
+# spot-power thresholds they are env-tunable: a sharper net wants stricter
+# merge rules (see scripts/analyze_probe.py and PERF.md round-3 notes).
+# Default raised from the reference's -1: the round-3 net extracts
+# dominant-speaker-leaked audio at most candidate locations, and at -1 the
+# full-SI-SDR rule (plus the windowed rule) merged every head into ONE
+# cluster per scene (recall 0.54 -> 0.27; see PERF.md round-3 NMS notes and
+# scripts/analyze_probe.py).  At 2, estimated replay on the probe traces
+# yields ~3.7 heads/scene vs 3.35 GT speakers/scene.
+NMS_SISDR_THRESHOLD = float(os.environ.get("NMS_SISDR_THRESHOLD", "2"))
+NMS_WIN_THRESHOLD = float(os.environ.get("NMS_WIN_THRESHOLD", "-2"))
+NMS_WIN_THRESHOLD2 = float(os.environ.get("NMS_WIN_THRESHOLD2", "-7"))
+NMS_DIS_THRESHOLD = float(os.environ.get("NMS_DIS_THRESHOLD", "0.45"))
+# Power-ranked cap on final clusters (no reference counterpart needed: the
+# reference net never emitted more than a handful).  Guards the separation
+# stage's speaker-bucket size and precision when merge rules are loosened.
+NMS_MAX_OUT = int(os.environ.get("NMS_MAX_OUT", "6"))
 
 
 def check_sisnr_win(sisnr_list, threshold: float = -2, threshold2: float = -7) -> bool:
@@ -94,7 +117,7 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
     output_pair entries (in output_pair order) — supplied from the sweep's
     device-computed matrix so the host skips N^2 passes over the waveforms.
     """
-    SI_SDR_THRESHOLD = -1
+    SI_SDR_THRESHOLD = NMS_SISDR_THRESHOLD
     order = sorted(range(len(output_pair)), key=lambda i: -output_pair[i][2])
     candidates = [output_pair[i] for i in order]
     clusters: dict[int, list[int]] = {}
@@ -127,9 +150,17 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
             sisnr_seg.append(sisdr_list)
 
             dis = np.linalg.norm(center1[:2] - center2[:2])
-            check_valid = check_sisnr_win(sisdr_list)
+            check_valid = check_sisnr_win(
+                sisdr_list, NMS_WIN_THRESHOLD, NMS_WIN_THRESHOLD2)
 
-            if similarity > SI_SDR_THRESHOLD or check_valid or dis < 0.45:
+            if similarity > SI_SDR_THRESHOLD or check_valid or dis < NMS_DIS_THRESHOLD:
+                if power_trace.ENABLED:
+                    power_trace.record(
+                        "nms_merge", label=int(big_label),
+                        head_label=int(candidates[head][-1]),
+                        by=("sisdr" if similarity > SI_SDR_THRESHOLD
+                            else ("win" if check_valid else "dis")),
+                        sisdr=float(similarity), dis=float(dis))
                 clusters[head].append(_id)
                 unique = False
                 belong_cluster = cluster_id
@@ -137,7 +168,11 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
 
         if len(sisnr_seg) != 0:
             seg_max = np.amax(np.array(sisnr_seg), axis=0)
-            if check_sisnr_win(seg_max, threshold=-1, threshold2=-5):
+            if check_sisnr_win(seg_max, threshold=NMS_WIN_THRESHOLD + 1,
+                               threshold2=NMS_WIN_THRESHOLD2 + 2):
+                if unique and power_trace.ENABLED:
+                    power_trace.record("nms_segmax_drop",
+                                       label=int(big_label))
                 unique = False
 
         if unique:
@@ -153,9 +188,17 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
                     (big_label, cluster_label, delta_offset, power1 / power2)
                 )
 
+    if power_trace.ENABLED:
+        power_trace.record(
+            "nms_summary", n_in=len(candidates), n_out=len(clusters),
+            in_labels=[int(c[-1]) for c in candidates],
+            out_labels=[int(candidates[clusters[c][0]][-1])
+                        for c in clusters])
     patch_final = []
     audio_final = []
-    for cluster_id in clusters:
+    # candidates are power-sorted, so insertion order is power order;
+    # NMS_MAX_OUT keeps the strongest heads.
+    for cluster_id in list(clusters)[:NMS_MAX_OUT]:
         head = clusters[cluster_id][0]
         patch_final.append(candidates[head])
         audio_final.append(candidates[head][1])
