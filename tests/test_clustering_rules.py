@@ -105,3 +105,37 @@ def test_weight_mean_pos_threshold():
     expected_x = (10 * 0 + 9 * 1) / 19
     assert abs(pos[0] - expected_x) < 1e-9
     assert abs(offs[0] - expected_x) < 1e-9
+
+
+def test_nms_max_out_cap(monkeypatch):
+    from acousticswarms_speech_tpu.search import clustering
+    rng = np.random.default_rng(2)
+    # 8 mutually-independent voiced signals, far apart -> 8 clusters uncapped
+    pairs = [_pair([1.0 + 2 * i, 1.0, 0.3], _voiced(rng), 9.0 - i, f"{i}_0")
+             for i in range(8)]
+    monkeypatch.setattr(clustering, "NMS_MAX_OUT", 3)
+    _, final, _ = clustering_nms(pairs)
+    assert len(final) == 3
+    # power-ranked: the strongest heads survive the cap
+    assert [f[3] for f in final] == ["0_0", "1_0", "2_0"]
+
+
+def test_nms_sisdr_threshold_tunable(monkeypatch):
+    from acousticswarms_speech_tpu.search import clustering
+    rng = np.random.default_rng(3)
+    a = _voiced(rng)
+    # leaked copy: same signal + noise ~ 1 dB SI-SDR similarity
+    leaked = a + 0.9 * np.asarray(_voiced(rng))
+    pairs = [_pair([1.0, 1.0, 0.3], a, 2.0, "0_0"),
+             _pair([4.0, 4.0, 0.3], leaked, 1.0, "1_0")]
+    from acousticswarms_speech_tpu.utils.metrics import si_sdr
+    sim = si_sdr(leaked, a)
+    assert -7 < sim < 2  # in the contested band
+
+    monkeypatch.setattr(clustering, "NMS_SISDR_THRESHOLD", -10.0)
+    _, merged, _ = clustering_nms(pairs)
+    assert len(merged) == 1
+    monkeypatch.setattr(clustering, "NMS_SISDR_THRESHOLD", 10.0)
+    monkeypatch.setattr(clustering, "NMS_WIN_THRESHOLD", 10.0)
+    _, split, _ = clustering_nms(pairs)
+    assert len(split) == 2
