@@ -12,7 +12,7 @@ python -m acousticswarms_speech_tpu.pipeline.evaluate .speechdata_v1/test \
   --spot_experiment_dir experiments/speech_localization \
   --sep_experiment_dir experiments/speech_separation \
   --results_folder .results_speech_r3 \
-  --use_fp16 --cached_init --num_shards 3 --shard_indices 0,1 \
+  --use_fp16 --cached_init --num_shards 9 --shard_indices 0,1,2 \
   --degrade_shard_indices 0
 echo "=== analyze clean ==="
 python -m acousticswarms_speech_tpu.pipeline.analyze .results_speech_r3
