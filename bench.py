@@ -79,7 +79,58 @@ def _enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _emit_error_json(reason: str) -> None:
+    """Always leave a parseable bench line, even on failure — the driver
+    records whatever this prints; an rc=1 with no JSON (BENCH_r03) is the
+    worst outcome."""
+    print(json.dumps({
+        "metric": "e2e_7mic_mixtures_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "mixtures/s",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }))
+
+
+def _probe_tpu_alive() -> bool:
+    """Bounded TPU-relay health probe in a subprocess.
+
+    This environment's axon relay can go fully down mid-session; when it
+    does, `jax.devices()` HANGS FOREVER in-process (no exception), so the
+    probe must be an external process killed by timeout.  Retries with
+    backoff ride out short flaps.
+    """
+    import subprocess
+
+    tmo = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120"))
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
+    backoff = int(os.environ.get("BENCH_PROBE_BACKOFF_S", "60"))
+    code = "import jax; d = jax.devices(); print(len(d))"
+    for attempt in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=tmo,
+                capture_output=True, text=True,
+            )
+            if proc.returncode == 0:
+                return True
+            print(f"[bench] probe attempt {attempt + 1}/{retries} rc="
+                  f"{proc.returncode}: {proc.stderr.strip()[-200:]}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] probe attempt {attempt + 1}/{retries} timed out "
+                  f"after {tmo}s (relay hang)", file=sys.stderr, flush=True)
+        if attempt < retries - 1:
+            time.sleep(backoff)
+    return False
+
+
 def main():
+    if not _probe_tpu_alive():
+        _emit_error_json("tpu backend unavailable: jax.devices() probe "
+                         "failed/hung after retries (axon relay outage)")
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
@@ -208,4 +259,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — always leave a JSON line
+        import traceback
+
+        traceback.print_exc()
+        _emit_error_json(f"{type(e).__name__}: {e}"[:300])
+        sys.exit(1)
