@@ -236,6 +236,27 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
     the mixture is degraded with Opus + noise + timing jitter before the
     pipeline sees it, while GT and metrics stay clean-referenced."""
     all_tp, all_fn, all_fp = [], [], []
+    if results_folder is not None:
+        # Provenance: record the effective (env-overridable) threshold
+        # configuration next to the result JSONs so a stray env var can
+        # never silently change reported metrics (ADVICE r3).
+        from .. import constants as C
+        from ..search.clustering import effective_nms_config
+
+        os.makedirs(results_folder, exist_ok=True)
+        with open(os.path.join(results_folder, "config.json"), "w") as f:
+            json.dump({
+                "dataset": dataset_dir,
+                "shard_index": shard_index,
+                "num_shards": num_shards,
+                "degrade": degrade,
+                "grid_size": grid_size,
+                "SPOT_POWER_THRESHOLD1": C.SPOT_POWER_THRESHOLD1,
+                "SPOT_POWER_THRESHOLD2": C.SPOT_POWER_THRESHOLD2,
+                "USE_RELATIVE_SPOT_POWER": C.USE_RELATIVE_SPOT_POWER,
+                "SRP_THRESHOLD": C.SRP_THRESHOLD,
+                **effective_nms_config(),
+            }, f, indent=4)
     codec = None
     if degrade:
         from ..constants import CHANNELS_PER_MIC, CODEC_FRAME_DURATION_S
@@ -368,6 +389,12 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
                         "sample_offsets_gt": sample_offsets_gt.tolist(),
                         "records": power_trace.drain(),
                     }, f)
+        elif power_trace.ENABLED:
+            # No results folder: still drain (and discard) per sample so the
+            # module-global trace buffer — which holds full per-candidate
+            # offset/power lists — cannot grow unbounded over a long eval
+            # (ADVICE r3).
+            power_trace.drain()
 
         print(f"False positive = {fp}; False negative = {fn}; "
               f"True positive = {tp}")

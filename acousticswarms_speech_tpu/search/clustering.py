@@ -38,7 +38,24 @@ NMS_DIS_THRESHOLD = float(os.environ.get("NMS_DIS_THRESHOLD", "0.45"))
 # Power-ranked cap on final clusters (no reference counterpart needed: the
 # reference net never emitted more than a handful).  Guards the separation
 # stage's speaker-bucket size and precision when merge rules are loosened.
-NMS_MAX_OUT = int(os.environ.get("NMS_MAX_OUT", "6"))
+# Default 8, strictly above the eval sets' max GT speaker count (6): a cap
+# at exactly the max count lets one strong false-positive head evict a true
+# speaker (ADVICE r3).  Truncation is recorded in the nms_summary trace and
+# printed, so a capped scene is visible in results.
+NMS_MAX_OUT = int(os.environ.get("NMS_MAX_OUT", "8"))
+
+
+def effective_nms_config() -> dict:
+    """The NMS thresholds actually in effect (env overrides applied at import
+    time) — recorded into eval results folders for provenance (ADVICE r3:
+    a stray env var must not silently change reported precision/recall)."""
+    return {
+        "NMS_SISDR_THRESHOLD": NMS_SISDR_THRESHOLD,
+        "NMS_WIN_THRESHOLD": NMS_WIN_THRESHOLD,
+        "NMS_WIN_THRESHOLD2": NMS_WIN_THRESHOLD2,
+        "NMS_DIS_THRESHOLD": NMS_DIS_THRESHOLD,
+        "NMS_MAX_OUT": NMS_MAX_OUT,
+    }
 
 
 def check_sisnr_win(sisnr_list, threshold: float = -2, threshold2: float = -7) -> bool:
@@ -188,12 +205,17 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
                     (big_label, cluster_label, delta_offset, power1 / power2)
                 )
 
+    n_truncated = max(0, len(clusters) - NMS_MAX_OUT)
     if power_trace.ENABLED:
         power_trace.record(
             "nms_summary", n_in=len(candidates), n_out=len(clusters),
+            n_truncated=n_truncated,
             in_labels=[int(c[-1]) for c in candidates],
             out_labels=[int(candidates[clusters[c][0]][-1])
                         for c in clusters])
+    if n_truncated:
+        print(f"[nms] output cap NMS_MAX_OUT={NMS_MAX_OUT} truncated "
+              f"{n_truncated} of {len(clusters)} clusters")
     patch_final = []
     audio_final = []
     # candidates are power-sorted, so insertion order is power order;

@@ -294,9 +294,21 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
             train_losses = list(summary["train_losses"])
             val_losses = list(summary["val_losses"])
             val_epochs = ckpt.summary_val_epochs(summary)
+            # The sidecar is also the fresher record for lr and scheduler
+            # state: after an unclean restart between SWARM_OPT_STATE_EVERY
+            # binary saves, the binary carries up to N stale epochs of
+            # ReduceLROnPlateau counters while the sidecar is per-epoch
+            # (ADVICE r3).
+            if "lr" in summary:
+                lr = float(summary["lr"])
+            if "scheduler" in summary:
+                scheduler.load_state_dict(summary["scheduler"])
         else:
             val_epochs = list(range(start_epoch - len(val_losses),
                                     start_epoch))
+        # Make the resumed lr effective for the FIRST epoch after resume
+        # (the in-loop update only runs at end of epoch).
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
 
     # Fault tolerance = per-epoch checkpoints + auto-resume (above); an
     # interrupt mid-epoch loses at most that epoch (reference: train.py:233).

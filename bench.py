@@ -237,17 +237,23 @@ def main():
 
     baseline_path = os.path.join(REPO, "bench_baseline.json")
     vs_baseline = 1.0
+    vs_a100_est = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
         if base.get("value"):
             vs_baseline = value / base["value"]
+        if base.get("a100_ref_equiv"):
+            # Computed speed-of-light A100 estimate of the reference
+            # pipeline (BASELINE.md "Computed A100-equivalent anchor").
+            vs_a100_est = round(value / base["a100_ref_equiv"], 4)
 
     print(json.dumps({
         "metric": "e2e_7mic_mixtures_per_sec_per_chip",
         "value": round(value, 4),
         "unit": "mixtures/s",
         "vs_baseline": round(vs_baseline, 3),
+        **({"vs_a100_est": vs_a100_est} if vs_a100_est is not None else {}),
     }))
     print(f"[bench] setup+warmup {setup_time:.1f}s; per-mixture {elapsed:.3f}s "
           f"= {DURATION_S / elapsed:.2f}x realtime on the {DURATION_S:.0f}s "

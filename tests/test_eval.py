@@ -314,3 +314,25 @@ def test_eval_cli_multi_shard_one_process(monkeypatch):
         (0, 3, False, "res"), (1, 3, False, "res"), (2, 3, False, "res"),
         (1, 3, True, "res_degraded"),
     ]
+
+
+def test_eval_writes_effective_config(tmp_path):
+    """ADVICE r3: result folders must record the effective (env-overridable)
+    threshold configuration for provenance."""
+    from acousticswarms_speech_tpu.pipeline.evaluate import evaluate_dataset
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    rf = tmp_path / "res"
+    out = evaluate_dataset(object(), str(ds), results_folder=str(rf))
+    assert out == {"tp": 0, "fp": 0, "fn": 0}
+    with open(rf / "config.json") as f:
+        cfg = json.load(f)
+    from acousticswarms_speech_tpu import constants as C
+    from acousticswarms_speech_tpu.search import clustering as cl
+
+    assert cfg["SPOT_POWER_THRESHOLD1"] == C.SPOT_POWER_THRESHOLD1
+    assert cfg["SPOT_POWER_THRESHOLD2"] == C.SPOT_POWER_THRESHOLD2
+    assert cfg["NMS_SISDR_THRESHOLD"] == cl.NMS_SISDR_THRESHOLD
+    assert cfg["NMS_MAX_OUT"] == cl.NMS_MAX_OUT
+    assert cl.NMS_MAX_OUT > 6  # strictly above the eval sets' max GT count

@@ -379,3 +379,35 @@ def test_resume_prefers_fresher_sidecar_history(tmp_path):
     chosen = summary["val_losses"]
     eps = summary_val_epochs(summary)
     assert eps[int(np.argmin(chosen))] == 7
+
+
+def test_resume_takes_lr_and_scheduler_from_fresher_sidecar(tmp_path):
+    """ADVICE r3: after an unclean restart between SWARM_OPT_STATE_EVERY
+    binary saves, lr and ReduceLROnPlateau counters must come from the
+    per-epoch sidecar, not the stale binary state."""
+    import optax
+
+    from acousticswarms_speech_tpu.training.checkpoints import (
+        load_state, load_state_summary, save_state,
+    )
+
+    path = str(tmp_path / "state.msgpack")
+    opt = optax.adam(1e-3)
+    opt_state = opt.init({"w": np.zeros(3, np.float32)})
+
+    # epoch 5: full save at lr 3e-4, no bad epochs yet
+    save_state(path, opt_state, {"best_loss": -1.18, "bad_epochs": 0},
+               [0.5, 0.4], [-0.89, -1.18], epoch=5, lr=3e-4,
+               val_epochs=[4, 5])
+    # epoch 8: sidecar-only save after a plateau halving -> lr 1.5e-4
+    save_state(path, None, {"best_loss": -1.45, "bad_epochs": 1},
+               [0.5, 0.4, 0.3, 0.2, 0.1],
+               [-0.89, -1.18, -1.26, -1.45, -1.33],
+               epoch=8, lr=1.5e-4, val_epochs=[4, 5, 6, 7, 8])
+
+    binary = load_state(path, opt_state)
+    summary = load_state_summary(path)
+    assert float(binary["lr"]) == 3e-4                 # stale
+    assert float(summary["lr"]) == 1.5e-4              # fresh
+    assert summary["scheduler"]["bad_epochs"] == 1
+    assert summary["scheduler"]["best_loss"] == -1.45
