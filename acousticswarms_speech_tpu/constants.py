@@ -34,7 +34,13 @@ SRP_THRESHOLD = 0.02
 MIN_AREA = 400
 MIN_WIDTH = 3
 MIN_TOLERANCE = 4
-MAX_BIG_PATCH = 30
+# Power-ranked cap on coarse-stage survivors (reference constants.py:35).
+# Round-4 retention root-cause (scripts/analyze_retention.py over the r3
+# traces): at a loose SPOT_POWER_THRESHOLD1 this cap drops ~10% of GT
+# speakers (33-54 passing patches, true patch ranked >30), half the 0.78
+# fine-retention ceiling.  Env-tunable so dense scenes can raise it; cap
+# truncation is recorded in the coarse power_trace record.
+MAX_BIG_PATCH = int(os.environ.get("MAX_BIG_PATCH", "30"))
 MIN_WIDTH_REQUIRED = 2
 
 LOC_MODEL_THRESHOLD = 0.6

@@ -191,11 +191,20 @@ class MicArray:
             d = (np.linalg.norm(center - self.mic_positions[0])
                  if center is not None and center.shape[0] == 3 else 4.0)
             if power_trace.ENABLED:
+                # sub_offsets/sub_powers_win let offline replays measure
+                # retention at the small-patch level: a GT speaker on a big
+                # patch's boundary (stride-4 SRP bucket off) still has a
+                # subdivided width-2 patch near its true offsets, which the
+                # big_offset-only record cannot show
+                # (scripts/analyze_retention.py, round-4 finding).
                 power_trace.record(
                     "fine",
                     big_offset=np.asarray(big_offset).tolist(),
                     max_power_win=float(np.amax(powers2)),
-                    dis=float(d))
+                    dis=float(d),
+                    sub_offsets=[np.asarray(p.sample_offset).tolist()
+                                 for p in patch_processed],
+                    sub_powers_win=[float(x) for x in powers2])
             if np.amax(powers2) < spot_power_threshold / (1 + d):
                 continue
 

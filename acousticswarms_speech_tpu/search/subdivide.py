@@ -165,10 +165,21 @@ def binary_search_baseline(mix_data: np.ndarray, spot_model, patch_list,
         relative_threshold = SPOT_POWER_THRESHOLD1
 
     valid_patch = []
+    n_passing = 0
     for i in sort_idx:
         if powers_with_dis[i] < relative_threshold:
             continue
+        n_passing += 1
         if len(valid_patch) >= MAX_BIG_PATCH:
-            break
+            continue
         valid_patch.append(patch_list[i])
+    if power_trace.ENABLED:
+        power_trace.record("coarse_keep", n_passing=n_passing,
+                           n_kept=len(valid_patch),
+                           cap=MAX_BIG_PATCH,
+                           n_truncated=n_passing - len(valid_patch))
+    if n_passing > len(valid_patch):
+        print(f"[coarse] MAX_BIG_PATCH={MAX_BIG_PATCH} truncated "
+              f"{n_passing - len(valid_patch)} of {n_passing} passing "
+              f"patches")
     return valid_patch, powers_with_dis, relative_threshold * 1.2
