@@ -91,8 +91,12 @@ def test_power_trace_records_coarse_decision(monkeypatch):
     kept, powers_with_dis, rel = binary_search_baseline(
         None, None, patches, MIC, sweep=FakeSweep())
     recs = power_trace.drain()
-    assert len(recs) == 1 and recs[0]["stage"] == "coarse"
+    assert len(recs) == 2 and recs[0]["stage"] == "coarse"
     assert len(recs[0]["offsets"]) == 2
     assert recs[0]["powers_win"] == [0.02, 0.001]
     assert recs[0]["powers_with_dis"] == [float(p) for p in powers_with_dis]
+    # round-4: cap telemetry record (scripts/analyze_retention.py cap_drop)
+    assert recs[1]["stage"] == "coarse_keep"
+    assert recs[1]["n_kept"] == len(kept)
+    assert recs[1]["n_truncated"] == recs[1]["n_passing"] - recs[1]["n_kept"]
     assert power_trace.drain() == []  # drained
