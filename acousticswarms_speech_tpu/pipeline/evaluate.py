@@ -255,6 +255,9 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
                 "SPOT_POWER_THRESHOLD2": C.SPOT_POWER_THRESHOLD2,
                 "USE_RELATIVE_SPOT_POWER": C.USE_RELATIVE_SPOT_POWER,
                 "SRP_THRESHOLD": C.SRP_THRESHOLD,
+                "MAX_BIG_PATCH": C.MAX_BIG_PATCH,
+                "SPOT_CROP_SECONDS": getattr(model, "sweep_crop_seconds",
+                                             0.0),
                 **effective_nms_config(),
             }, f, indent=4)
     codec = None

@@ -10,11 +10,12 @@ like JointModel.setup (:125-137).
 """
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
 
-from ..constants import SPOT_BATCH
+from ..constants import FS, SPOT_BATCH
 from ..models import SepNet, SpotNet
 from ..search.spotform import SeparationInference, SpotformExecutor
 from .mic_array import MicArray
@@ -23,15 +24,28 @@ from .mic_array import MicArray
 class JointPipeline:
     def __init__(self, spot_model: SpotNet, spot_params, sep_model: SepNet,
                  sep_params, spot_batch_size: int = SPOT_BATCH,
-                 use_bf16: bool = False, mesh=None):
+                 use_bf16: bool = False, mesh=None,
+                 sweep_crop_seconds: float | None = None):
         """`mesh`: optional jax.sharding.Mesh with a 'cand' axis — the coarse
         and fine spotforming sweeps (the workload's scaling axis) shard their
-        candidate batches over it; see search/spotform.py:_BatchedSweep."""
+        candidate batches over it; see search/spotform.py:_BatchedSweep.
+
+        `sweep_crop_seconds` (or env SPOT_CROP_SECONDS): when > 0, the coarse
+        and fine selection sweeps run on the loudest `sweep_crop_seconds`
+        window of the mixture instead of full T — the sweep is HBM-bound
+        (PERF.md round-3 roofline), so bytes, not FLOPs, set its time, and
+        selection only needs power/similarity statistics.  Cluster heads get
+        one extra full-T strict sweep for NMS decisions and output audio.
+        Default off (0) until validated end-to-end on a traced probe."""
         self.spot_model = SpotformExecutor(spot_model, spot_params,
                                            batch_size=spot_batch_size,
                                            use_bf16=use_bf16, mesh=mesh)
         self.sep_model = SeparationInference(sep_model, sep_params,
                                              use_bf16=use_bf16)
+        env_crop = os.environ.get("SPOT_CROP_SECONDS")
+        self.sweep_crop_seconds = (
+            float(env_crop) if env_crop is not None
+            else (sweep_crop_seconds or 0.0))
         self.times = [0.0] * 5
         self.previous_config: str | None = None
         self.mic_processor: MicArray | None = None
@@ -72,6 +86,23 @@ class JointPipeline:
                 return self._forward(mix_data)
         return self._forward(mix_data)
 
+    def _crop_slice(self, mix_np: np.ndarray):
+        """(start, length) of the loudest `sweep_crop_seconds` window of the
+        reference channel (prefix-sum energy argmax), or None when cropping
+        is off / the mixture is already shorter.  Length is fixed per
+        (T, crop) pair so the sweep programs compile once."""
+        if self.sweep_crop_seconds <= 0:
+            return None
+        T = mix_np.shape[1]
+        L = int(self.sweep_crop_seconds * FS)
+        # keep at least the 12000-sample power window + shift margin
+        L = max(L, 16384)
+        if L >= T:
+            return None
+        x2 = np.cumsum(mix_np[0].astype(np.float64) ** 2)
+        sums = x2[L - 1 :] - np.concatenate([[0.0], x2[: T - L]])
+        return int(np.argmax(sums)), L
+
     def _forward(self, mix_data: np.ndarray):
         import jax.numpy as jnp
 
@@ -79,10 +110,14 @@ class JointPipeline:
         # separation) consumes the device-resident array — jnp.asarray on an
         # already-device f32 array is a no-op, so this removes three
         # 4 MB host->device transfers per mixture on the relayed runtime.
-        mix_data = jnp.asarray(np.asarray(mix_data), dtype=jnp.float32)
+        mix_np = np.asarray(mix_data)
+        crop = self._crop_slice(mix_np)
+        mix_data = jnp.asarray(mix_np, dtype=jnp.float32)
+        mix_sweep = (mix_data[:, crop[0] : crop[0] + crop[1]]
+                     if crop is not None else None)
         self.times = [0.0] * 5
         patches, audio_loc, srp_drop, stage1_drop, spot_times = \
-            self.localize_by_separation(mix_data)
+            self.localize_by_separation(mix_data, mix_sweep=mix_sweep)
         t0 = time.time()
         audio = self.separate_by_localization(mix_data, patches)
         self.times[4] = time.time() - t0
@@ -101,7 +136,10 @@ class JointPipeline:
 
     __call__ = forward
 
-    def localize_by_separation(self, mix_data: np.ndarray):
+    def localize_by_separation(self, mix_data: np.ndarray, mix_sweep=None):
+        """`mix_sweep`: optional cropped view of `mix_data` for the selection
+        sweeps (see `sweep_crop_seconds`); when given, cluster heads are
+        re-spotformed on the full mixture inside stage 2."""
         assert self.previous_config is not None, \
             "Mic positions and speaker range not provided; call .setup() first"
 
@@ -111,6 +149,7 @@ class JointPipeline:
         if len(patch_list) <= 0:
             return [], [], 0, 0, 0
 
+        sweep_mix = mix_sweep if mix_sweep is not None else mix_data
         t0 = time.time()
         # Dispatch the coarse sweep, then subdivide candidates on the host
         # while the device works.  Subdivision of ALL candidates costs more
@@ -119,7 +158,7 @@ class JointPipeline:
         # survivors (a filtered subset) are subdivided on demand in stage 2,
         # which is cheaper than pre-subdividing every dropped candidate.
         self.mic_processor.big_spotforming_times = len(patch_list)
-        coarse_sweep = self.spot_model.sweep(mix_data, patch_list, strict=0)
+        coarse_sweep = self.spot_model.sweep(sweep_mix, patch_list, strict=0)
         done = getattr(coarse_sweep._totals, "is_ready", lambda: False)
         subdivided = {}
         for p in patch_list:
@@ -127,7 +166,7 @@ class JointPipeline:
             if done():
                 break
         patch_list = self.mic_processor.spotform_big_patch(
-            mix_data, patch_list, self.spot_model, sweep=coarse_sweep
+            sweep_mix, patch_list, self.spot_model, sweep=coarse_sweep
         )
         self.times[1] = time.time() - t0
         if len(patch_list) <= 0:
@@ -135,7 +174,8 @@ class JointPipeline:
 
         t0 = time.time()
         output_pair = self.mic_processor.spotform_small_patch_parallel(
-            mix_data, patch_list, self.spot_model, subdivided=subdivided
+            sweep_mix, patch_list, self.spot_model, subdivided=subdivided,
+            full_mix=mix_data if mix_sweep is not None else None,
         )
         self.times[2] = time.time() - t0
         if len(output_pair) <= 0:

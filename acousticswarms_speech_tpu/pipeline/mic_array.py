@@ -118,13 +118,19 @@ class MicArray:
     # ----- stage 2 -------------------------------------------------------
     def spotform_small_patch_parallel(self, mix_data: np.ndarray,
                                       candidate_finished, spot_model,
-                                      sample_gt=None, subdivided=None):
+                                      sample_gt=None, subdivided=None,
+                                      full_mix=None):
         """Subdivide every big patch, run ONE combined strict spotforming
         sweep, then per-big-patch threshold + SI-SDR clustering
         (reference: Mic_Array.py:225-395).
 
         `subdivided`: optional dict id(patch) -> precomputed subdivision
-        (computed overlapped with the coarse sweep)."""
+        (computed overlapped with the coarse sweep).
+
+        `full_mix`: when the selection sweep ran on a cropped mixture
+        (JointPipeline.sweep_crop_seconds), the full-length mixture — the
+        few cluster heads are re-spotformed on it so NMS decisions and the
+        output localization audio stay full-T."""
         width_list0 = [2 for _ in range(self.num_mic - 1)]
         output_pair = []
 
@@ -272,10 +278,24 @@ class MicArray:
         # One batched transfer for all cluster heads' waveforms; keep the
         # head-pair SI-SDR submatrix for the NMS stage (free — already on
         # host from the sweep fetch).
-        audio = sweep.gather(head_indices)
-        self._last_head_sim = (
-            sim[np.ix_(head_indices, head_indices)] if head_indices else None
-        )
+        if full_mix is not None and head_indices:
+            # Cropped-selection mode: one extra strict sweep over just the
+            # heads (<= MAX_BIG_PATCH-ish, a single 32-bucket dispatch) on
+            # the FULL mixture — NMS and output audio must be full-T, and
+            # the head-pair SI-SDR matrix is recomputed there too.
+            head_sweep = spot_model.sweep(
+                full_mix, [total_patch[g] for g in head_indices], strict=1,
+                with_similarity=True)
+            audio_local = head_sweep.gather(range(len(head_indices)))
+            audio = {g: audio_local[k] for k, g in enumerate(head_indices)}
+            self._last_head_sim = head_sweep.sisdr_mat
+            self.spotforming_times += len(head_indices)
+        else:
+            audio = sweep.gather(head_indices)
+            self._last_head_sim = (
+                sim[np.ix_(head_indices, head_indices)] if head_indices
+                else None
+            )
         for gidx, (patch_center, power, tag, save_offsets, big_label) in zip(
             head_indices, pending
         ):

@@ -261,7 +261,8 @@ def main():
           f"all {['%.2f' % t for t in times]}); "
           f"stage times {['%.3f' % t for t in pipe.times]}; "
           f"clusters {len(patches)}; spot calls {spot_calls}; "
-          f"batch {batch}; bf16 {use_bf16}", file=sys.stderr)
+          f"batch {batch}; bf16 {use_bf16}; "
+          f"crop {pipe.sweep_crop_seconds}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

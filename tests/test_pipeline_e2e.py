@@ -116,3 +116,63 @@ def test_localize_by_separation_e2e_delay_and_sum():
         centers[:, None, :] - np.array(srcs)[None, :, :2], axis=-1
     )
     assert dists.min() < 0.5, f"no cluster near any source: {dists}"
+
+
+def test_crop_slice_picks_loudest_window():
+    """JointPipeline._crop_slice: prefix-sum argmax of reference-channel
+    energy, fixed length, off when crop >= T or crop seconds <= 0."""
+    from types import SimpleNamespace
+
+    from acousticswarms_speech_tpu.pipeline.joint import JointPipeline
+
+    T = 3 * FS
+    mix = np.zeros((7, T), dtype=np.float32)
+    mix[0, 100000:112000] = 1.0  # loud burst
+    self_like = SimpleNamespace(sweep_crop_seconds=1.0)
+    start, L = JointPipeline._crop_slice(self_like, mix)
+    assert L == FS
+    assert start <= 100000 and start + L >= 112000  # burst inside the crop
+
+    self_like.sweep_crop_seconds = 0.0
+    assert JointPipeline._crop_slice(self_like, mix) is None
+    self_like.sweep_crop_seconds = 4.0  # longer than the mixture
+    assert JointPipeline._crop_slice(self_like, mix) is None
+
+
+@pytest.mark.slow
+def test_cropped_selection_with_full_head_resweep():
+    """Cropped-sweep mode (SPOT_CROP_SECONDS): stages 1-2 select on the
+    loudest crop, cluster heads are re-spotformed full-T — final audio must
+    be full-length and localization still lands near a true source."""
+    srcs = [np.array([4.8, 2.4, 0.4]), np.array([2.2, 3.4, 0.3])]
+    mix, gt = _make_scene(srcs, seed=1)
+    T = mix.shape[1]
+
+    roi = [1.0, 6.0, 0.2, 5.0, 0.1, 0.62]
+    arr = MicArray(MIC_POS, spk_range=roi, grid_size=0.05)
+    spot = DelayAndSumExecutor(batch_size=64)
+
+    patch_list, _ = arr.apply_srp_phat(mix)
+    assert len(patch_list) > 0
+
+    crop_L = int(0.75 * FS)
+    x2 = np.cumsum(mix[0].astype(np.float64) ** 2)
+    sums = x2[crop_L - 1:] - np.concatenate([[0.0], x2[: T - crop_L]])
+    s0 = int(np.argmax(sums))
+    mix_crop = mix[:, s0 : s0 + crop_L]
+
+    big = arr.spotform_big_patch(mix_crop, patch_list, spot)
+    assert len(big) > 0
+    pairs = arr.spotform_small_patch_parallel(mix_crop, big, spot,
+                                              full_mix=mix)
+    assert len(pairs) > 0
+    audio_final, patch_final, spot_times, _ = arr.clustering_new(pairs)
+    assert len(patch_final) >= 1
+
+    for pf in patch_final:
+        assert pf[1].shape[0] == T  # full-T audio despite cropped selection
+
+    centers = np.array([pf[0].center_pos()[:2] for pf in patch_final])
+    dists = np.linalg.norm(
+        centers[:, None, :] - np.array(srcs)[None, :, :2], axis=-1)
+    assert dists.min() < 0.5, f"no cluster near any source: {dists}"
