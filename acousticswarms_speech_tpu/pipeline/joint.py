@@ -91,10 +91,11 @@ class JointPipeline:
         reference channel (prefix-sum energy argmax), or None when cropping
         is off / the mixture is already shorter.  Length is fixed per
         (T, crop) pair so the sweep programs compile once."""
-        if self.sweep_crop_seconds <= 0:
+        crop_s = getattr(self, "sweep_crop_seconds", 0.0)
+        if crop_s <= 0:
             return None
         T = mix_np.shape[1]
-        L = int(self.sweep_crop_seconds * FS)
+        L = int(crop_s * FS)
         # keep at least the 12000-sample power window + shift margin
         L = max(L, 16384)
         if L >= T:
