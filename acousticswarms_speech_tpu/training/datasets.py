@@ -88,7 +88,12 @@ def _load_mixture(curr_dir, mics) -> np.ndarray:
 class BaseDataset:
     def __init__(self, input_dir, dataset_type, sr, compression_prob,
                  max_white_noise_variance=1e-3, max_pink_noise_variance=5e-3):
-        self.dirs = sorted(Path(input_dir).glob("[0-9]*"))
+        # An interrupted generator can leave a scene dir without its
+        # metadata.json (wavs are written after it); listing only complete
+        # scenes keeps training alive across partial corpus writes.
+        self.dirs = sorted(
+            d for d in Path(input_dir).glob("[0-9]*")
+            if (d / "metadata.json").exists())
         self.dataset_type = dataset_type
         self.sr = sr
         if dataset_type == "train":

@@ -79,6 +79,24 @@ def test_localization_dataset_items(dataset_dir):
     assert seen_pos and seen_neg
 
 
+def test_incomplete_scene_dirs_are_skipped(dataset_dir, tmp_path):
+    """An interrupted generator leaves a scene dir without metadata.json
+    (reference writes wavs before metadata, generate_dataset.py:633-699);
+    listing must skip it rather than crash mid-epoch."""
+    import shutil
+
+    from acousticswarms_speech_tpu.training.datasets import LocalizationDataset
+
+    root = tmp_path / "ds_partial"
+    shutil.copytree(dataset_dir, root)
+    (root / "00099").mkdir()  # truncated: no metadata.json, no wavs
+    ds = LocalizationDataset("train", str(root), n_mics=7,
+                             compression_prob=0, challenge_ratio=0.0)
+    assert len(ds) == 3
+    for i in range(3):
+        ds[i]
+
+
 def test_separation_dataset_items(dataset_dir):
     from acousticswarms_speech_tpu.training.datasets import SeparationDataset
 
