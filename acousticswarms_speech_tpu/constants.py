@@ -50,10 +50,17 @@ LOC_MODEL_THRESHOLD = 0.6
 # via env so an eval sweep can re-tune them without a code edit.
 USE_RELATIVE_SPOT_POWER = (
     os.environ.get("USE_RELATIVE_SPOT_POWER", "0") == "1")
+# Defaults re-frozen from the round-4 post-fine-tune probe tuner
+# (scripts/tune_thresholds.py over .results_r4_probe, 12 scenes, epoch-4
+# fine-tuned net): coarse 0.004 retains 0.893 of GT speakers at 21.3
+# candidates/scene (0.008 retained 0.839 at 18.9 — the converged net
+# suppresses negatives, so the lower gate is nearly free); fine 0.008 is
+# the retention plateau edge (0.821; 0.012 drops to 0.787).  Re-tune per
+# released net.
 SPOT_POWER_THRESHOLD1 = float(
-    os.environ.get("SPOT_POWER_THRESHOLD1", "0.008"))
+    os.environ.get("SPOT_POWER_THRESHOLD1", "0.004"))
 SPOT_POWER_THRESHOLD2 = float(
-    os.environ.get("SPOT_POWER_THRESHOLD2", "0.01"))
+    os.environ.get("SPOT_POWER_THRESHOLD2", "0.008"))
 SI_SNR_POWER_THRESHOLD = 4e-3
 
 # Energy threshold to avoid choosing silence when generating hardware data
