@@ -290,6 +290,11 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
         model.setup(mic_positions=mic_positions, speaker_range=speaker_range,
                     cache_dir=curr if cache_geometry else None,
                     grid_size=grid_size)
+        if power_trace.ENABLED:
+            # GT offsets for trace-record labeling only (fine/fine_pass/NMS
+            # records carry big_label so offline replays can attribute
+            # merges/drops to true speakers — scripts/analyze_probe.py).
+            model.mic_processor.trace_sample_gt = sample_offsets_gt
         patches, audio_loc, audio, _, _, spot_times = model.forward(mix)
 
         if len(patches) == 0:

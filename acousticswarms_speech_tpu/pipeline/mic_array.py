@@ -131,6 +131,13 @@ class MicArray:
         (JointPipeline.sweep_crop_seconds), the full-length mixture — the
         few cluster heads are re-spotformed on it so NMS decisions and the
         output localization audio stay full-T."""
+        if sample_gt is None:
+            # Trace-only GT labels: eval drivers that enable
+            # ACOUSTIC_TRACE_POWERS set `trace_sample_gt` on the processor
+            # (callers like JointPipeline don't thread GT through the
+            # production path).  Labels feed trace records exclusively —
+            # no selection decision reads them.
+            sample_gt = getattr(self, "trace_sample_gt", None)
         width_list0 = [2 for _ in range(self.num_mic - 1)]
         output_pair = []
 
