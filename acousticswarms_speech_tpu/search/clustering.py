@@ -165,6 +165,17 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
                 similarity = si_sdr(audio1, audio2)
             sisdr_list = split_wise_sisdr(audio1, audio2, seg_win)
             sisnr_seg.append(sisdr_list)
+            if power_trace.ENABLED:
+                # Every tested (candidate, head) pair with its windowed
+                # SI-SDR list: scripts/replay_nms.py re-runs the greedy NMS
+                # offline under different thresholds (exact for pairs the
+                # live pass tested; the full-signal matrix in nms_summary
+                # covers the rest).
+                power_trace.record(
+                    "nms_pair", i=int(_id), head=int(head),
+                    sisdr=float(similarity),
+                    dis=float(np.linalg.norm(center1[:2] - center2[:2])),
+                    sisdr_win=[float(x) for x in sisdr_list])
 
             dis = np.linalg.norm(center1[:2] - center2[:2])
             check_valid = check_sisnr_win(
@@ -207,12 +218,25 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
 
     n_truncated = max(0, len(clusters) - NMS_MAX_OUT)
     if power_trace.ENABLED:
+        sub_mat = None
+        if pair_sisdr is not None:
+            # Full-signal SI-SDR matrix in candidate (power-sorted) order —
+            # with powers/centers below this makes the sisdr+dis merge rules
+            # exactly replayable offline (scripts/replay_nms.py).
+            sub_mat = [[float(pair_sisdr[order[a], order[b]])
+                        for b in range(len(candidates))]
+                       for a in range(len(candidates))]
         power_trace.record(
             "nms_summary", n_in=len(candidates), n_out=len(clusters),
             n_truncated=n_truncated,
             in_labels=[int(c[-1]) for c in candidates],
             out_labels=[int(candidates[clusters[c][0]][-1])
-                        for c in clusters])
+                        for c in clusters],
+            pair_sisdr=sub_mat,
+            powers=[float(c[2]) for c in candidates],
+            centers=[np.asarray(c[0].center_pos()).tolist()
+                     for c in candidates],
+            has_segments=[len(split_wav(c[1])) > 0 for c in candidates])
     if n_truncated:
         print(f"[nms] output cap NMS_MAX_OUT={NMS_MAX_OUT} truncated "
               f"{n_truncated} of {len(clusters)} clusters")

@@ -1,0 +1,126 @@
+"""Offline NMS replay: re-run the final greedy clustering from probe traces
+under different merge thresholds, WITHOUT touching the chip.
+
+Consumes trace_*.json from an ACOUSTIC_TRACE_POWERS=1 eval run that carries
+the round-4 `nms_summary` extensions (pair_sisdr matrix in candidate order,
+powers, centers, has_segments) and the per-tested-pair `nms_pair` records
+(windowed SI-SDR lists).
+
+Replay fidelity:
+- full-signal SI-SDR rule and distance rule: EXACT (matrix + centers).
+- windowed rule: exact for pairs the live pass tested (`nms_pair`);
+  untested pairs are assumed non-similar, so at thresholds looser than the
+  live run the head count is a lower bound of over-merging.  Coverage is
+  reported per sweep point.
+- the segment-max drop rule is replayed from tested pairs only.
+
+For each candidate threshold the script reports heads/scene, how many GT
+labels survive as heads (recall proxy), and how many heads carry a GT label
+(precision proxy).  Reference semantics: Mic_Array.py:425-468 with
+SI_SDR_THRESHOLD=-1.
+
+Usage: python scripts/replay_nms.py <results_folder> [thr ...]
+"""
+import glob
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from acousticswarms_speech_tpu.search.clustering import (  # noqa: E402
+    NMS_DIS_THRESHOLD, NMS_MAX_OUT, NMS_WIN_THRESHOLD, NMS_WIN_THRESHOLD2,
+    check_sisnr_win,
+)
+
+
+def load_scenes(folder):
+    scenes = []
+    for fp in sorted(glob.glob(folder + "/trace_*.json")):
+        tr = json.load(open(fp))
+        recs = tr["records"]
+        summary = next((r for r in recs if r["stage"] == "nms_summary"
+                        and r.get("pair_sisdr") is not None), None)
+        if summary is None:
+            continue
+        pairs = {(r["i"], r["head"]): r for r in recs
+                 if r["stage"] == "nms_pair"}
+        n_spk = np.asarray(tr["sample_offsets_gt"]).shape[1]
+        scenes.append((fp, n_spk, summary, pairs))
+    return scenes
+
+
+def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
+           win_thr2=NMS_WIN_THRESHOLD2, dis_thr=NMS_DIS_THRESHOLD,
+           max_out=NMS_MAX_OUT):
+    mat = np.asarray(summary["pair_sisdr"])
+    centers = [np.asarray(c) for c in summary["centers"]]
+    labels = summary["in_labels"]
+    has_seg = summary["has_segments"]
+    n = len(labels)
+    heads = []          # insertion-ordered head indices
+    tested = missing = 0
+    for i in range(n):
+        if not has_seg[i]:
+            continue
+        merged = False
+        seg_lists = []
+        for head in heads:
+            pr = pairs.get((i, head))
+            if pr is not None:
+                tested += 1
+                win_ok = check_sisnr_win(pr["sisdr_win"], win_thr, win_thr2)
+                seg_lists.append(pr["sisdr_win"])
+            else:
+                missing += 1
+                win_ok = False
+            dis = float(np.linalg.norm(centers[i][:2] - centers[head][:2]))
+            if mat[i, head] > sisdr_thr or win_ok or dis < dis_thr:
+                merged = True
+                break
+        if not merged and seg_lists:
+            seg_max = np.amax(np.asarray(seg_lists), axis=0)
+            if check_sisnr_win(seg_max, threshold=win_thr + 1,
+                               threshold2=win_thr2 + 2):
+                merged = True
+        if not merged:
+            heads.append(i)
+    heads = heads[:max_out]
+    out_labels = set(labels[h] for h in heads if labels[h] >= 0)
+    labeled_heads = sum(1 for h in heads if labels[h] >= 0)
+    return len(heads), out_labels, labeled_heads, tested, missing
+
+
+def main(folder, thrs):
+    scenes = load_scenes(folder)
+    if not scenes:
+        raise SystemExit(
+            f"no replayable nms_summary (with pair_sisdr) in {folder} — "
+            "re-run the probe with the round-4 trace extensions")
+    gt_total = sum(n for _, n, _, _ in scenes)
+    print(f"{len(scenes)} scenes, {gt_total} GT speakers; win-rule pairs "
+          "outside the live test set are assumed non-similar")
+    print(f"{'thr':>6} {'heads/scene':>12} {'GT surviving':>13} "
+          f"{'labeled heads':>14} {'pair coverage':>14}")
+    for thr in thrs:
+        h = lg = lh = t = m = 0
+        for _, n_spk, summary, pairs in scenes:
+            nh, out_labels, labeled, tested, missing = replay(
+                summary, pairs, thr)
+            h += nh
+            lg += len(out_labels)
+            lh += labeled
+            t += tested
+            m += missing
+        cov = t / max(1, t + m)
+        print(f"{thr:>6.1f} {h / len(scenes):>12.2f} "
+              f"{lg}/{gt_total} ({lg / gt_total:.2f}){'':>2} "
+              f"{lh:>8}/{h:<5} {cov:>10.2f}")
+
+
+if __name__ == "__main__":
+    folder = sys.argv[1]
+    thrs = [float(x) for x in sys.argv[2:]] or [
+        -3, -2, -1, 0, 1, 2, 3, 4, 6]
+    main(folder, thrs)
