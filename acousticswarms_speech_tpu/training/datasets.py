@@ -30,6 +30,7 @@ from ..utils import (
     get_shift_vector,
     powerlaw_psd_gaussian,
     read_audio_file,
+    shift_crop_given_samples,
     shift_mixture_given_samples,
     to_categorical,
 )
@@ -109,6 +110,10 @@ class BaseDataset:
             self.codec = OpusCodec(CHANNELS_PER_MIC, sr, CODEC_FRAME_DURATION_S)
         self.max_white_noise_variance = max_white_noise_variance
         self.max_pink_noise_variance = max_pink_noise_variance
+        # When True, the training driver applies the noise augmentation on
+        # device inside the jitted step (train._device_perturb) and the
+        # host perturb_audio is skipped here.
+        self.perturb_on_device = False
 
     def __len__(self):
         return len(self.dirs)
@@ -334,7 +339,7 @@ class LocalizationDataset(BaseDataset):
                 path = os.path.join(curr_dir, f"{mics[0]}_{voice}{suffix}.wav")
             target_voice_data = _cached_voice(path, self.sr)
 
-        if self.training:
+        if self.training and not self.perturb_on_device:
             shifted_vector = self.perturb_audio(shifted_vector)
         if (not real_sample) and (np.random.random() < self.compression_prob):
             shifted_vector, target_voice_data = self.apply_codec(
@@ -367,15 +372,8 @@ class SeparationDataset(BaseDataset):
     def __getitem__(self, idx):
         curr_dir = self.dirs[idx % len(self.dirs)]
         sources, target, num = self.get_mixture_and_gt(curr_dir)
-        if self.crop_seconds:
-            tc = int(self.crop_seconds * self.sr)
-            T = sources.shape[-1]
-            if T > tc:
-                start = (np.random.randint(0, T - tc + 1) if self.training
-                         else (T - tc) // 2)
-                sources = sources[:, start : start + tc]
-                target = target[:, start : start + tc]
-        return sources.astype(np.float32), target.astype(np.float32), num
+        return sources.astype(np.float32, copy=False), \
+            target.astype(np.float32, copy=False), num
 
     def get_mixture_and_gt(self, curr_dir):
         with open(os.path.join(curr_dir, "metadata.json")) as f:
@@ -402,9 +400,22 @@ class SeparationDataset(BaseDataset):
         mic_positions = np.array([metadata[k]["position"] for k in mics])
         mixture = _load_mixture(curr_dir, mics)
 
+        # Crop selection happens BEFORE shifting so the per-speaker shifted
+        # stack, the noise perturbation and the codec all run at the crop
+        # length, not the full scene length (at 1.5 s crops of 3 s scenes
+        # that halves the dominant per-item host cost; shift_crop reads the
+        # window straight out of the full signal).
         T = mixture.shape[1]
-        shifted_vector = np.zeros((self.n_mics * self.n_speakers, T))
-        target_voice_data = np.zeros((self.n_speakers, T))
+        tc = int(self.crop_seconds * self.sr) if self.crop_seconds else 0
+        if tc and T > tc:
+            start = (np.random.randint(0, T - tc + 1) if self.training
+                     else (T - tc) // 2)
+        else:
+            start, tc = 0, T
+
+        shifted_vector = np.zeros((self.n_mics * self.n_speakers, tc),
+                                  dtype=np.float32)
+        target_voice_data = np.zeros((self.n_speakers, tc), dtype=np.float32)
         assert len(voices) <= self.n_speakers
 
         for i, voice in enumerate(voices):
@@ -431,14 +442,13 @@ class SeparationDataset(BaseDataset):
                 pert[0] = 0
                 vshift = vshift + pert
 
-            shifted, _ = shift_mixture_given_samples(
-                mixture, np.asarray(vshift).astype(np.int32)
-            )
-            shifted_vector[i * self.n_mics:(i + 1) * self.n_mics] = shifted
+            shifted_vector[i * self.n_mics:(i + 1) * self.n_mics] = \
+                shift_crop_given_samples(
+                    mixture, np.asarray(vshift).astype(np.int32), start, tc)
             if gt is not None:
-                target_voice_data[i] = gt[0, :T]
+                target_voice_data[i] = gt[0, start : start + tc]
 
-        if self.training:
+        if self.training and not self.perturb_on_device:
             shifted_vector = self.perturb_audio(shifted_vector)
         if (not real_sample) and (np.random.random() < self.compression_prob):
             shifted_vector, target_voice_data = self.apply_codec(

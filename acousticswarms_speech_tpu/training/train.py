@@ -84,12 +84,39 @@ DATASET_REGISTRY = {
 }
 
 
+def _device_perturb(key, data, max_white_var: float, max_pink_var: float):
+    """Device-side port of BaseDataset.perturb_audio: per-item scalar noise
+    levels, unit-variance pink + white noise added to the (B, C, T) input
+    stack.  Runs inside the jitted train step — the host version costs
+    ~0.4-1.1 s per item on the single data-prep core and was the measured
+    training-throughput bottleneck (the TPU step itself is ~10 ms)."""
+    from ..utils.pink_noise import powerlaw_psd_gaussian_jax
+
+    kl, kp, kw = jax.random.split(key, 3)
+    levels = jax.random.uniform(kl, (2, data.shape[0]) + (1,) * (data.ndim - 1),
+                                jnp.float32)
+    pink = powerlaw_psd_gaussian_jax(1, data.shape, kp)
+    white = jax.random.normal(kw, data.shape, jnp.float32)
+    return (data + levels[0] * max_pink_var * pink
+            + levels[1] * max_white_var * white)
+
+
 def make_step_fns(model, model_name: str, loss_name: str,
-                  gradient_clip: float):
+                  gradient_clip: float, perturb: tuple | None = None,
+                  base_seed: int = 0):
+    """Build the jitted train/eval steps.
+
+    When ``perturb = (max_white_var, max_pink_var)`` is given, the train
+    step applies the noise augmentation on device from a per-step PRNG key
+    derived from ``base_seed`` and the host-supplied step counter (the
+    datasets then skip their host-side perturb_audio)."""
     loss_fn = get_loss_fn(loss_name)
 
-    def compute_loss(params, batch):
+    def compute_loss(params, batch, step=None):
         batch = tuple(_dequant(b) for b in batch)
+        if step is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(base_seed), step)
+            batch = (_device_perturb(key, batch[0], *perturb),) + batch[1:]
         if model_name == "SpeakerLocalization":
             data, gt, window = batch
             normed, means, stds = normalize_input(data)
@@ -108,8 +135,8 @@ def make_step_fns(model, model_name: str, loss_name: str,
     clipper = optax.clip_by_global_norm(gradient_clip)
 
     @jax.jit
-    def train_step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(compute_loss)(params, batch)
+    def train_step(params, opt_state, batch, step=None):
+        loss, grads = jax.value_and_grad(compute_loss)(params, batch, step)
         grads, _ = clipper.update(grads, optax.EmptyState())
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -218,9 +245,23 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
                         _example_inputs_for(model_name, model_params))
     print(f"Model has {param_count(params) / 1e6:.02f}M parameters.")
 
+    # Device-side noise augmentation: same distribution as the host
+    # perturb_audio but runs inside the jitted step (the host version was
+    # the measured epoch bottleneck on a single data-prep core).  Only when
+    # the codec augmentation is off — the reference order is
+    # perturb-then-codec, which a device-side perturb cannot preserve.
+    perturb = None
+    if (os.environ.get("ACOUSTIC_DEVICE_PERTURB", "1") != "0"
+            and float(train_set_params.get("compression_prob", 0.7)) == 0):
+        perturb = (float(data_train.max_white_noise_variance),
+                   float(data_train.max_pink_noise_variance))
+        data_train.perturb_on_device = True
+        print("Device-side perturb: on "
+              f"(white {perturb[0]:g}, pink {perturb[1]:g})")
+
     optimizer, train_step, eval_step = make_step_fns(
         model, model_name, training_params["loss"],
-        training_params["gradient_clip"],
+        training_params["gradient_clip"], perturb=perturb, base_seed=seed,
     )
 
     # Resume / warm start (reference train.py:117-137)
@@ -317,15 +358,31 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         print(f"\n{'=' * 25} STARTING EPOCH {epoch} {'=' * 25}\n")
         t1 = time.time()
         epoch_loss, n_batches = 0.0, 0
+        # Device loss scalars synced once per print_interval, not per step:
+        # a per-step float(loss) blocks on the full relay round trip and
+        # serializes dispatch; letting the host run K steps ahead overlaps
+        # H2D, compute and RTT.  The periodic sync doubles as backpressure —
+        # at most K batches (+ prefetch depth) are in flight on device.
+        pending: list = []
         for batch_idx, batch in enumerate(_device_prefetch(train_loader)):
             if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
                 break
-            params, opt_state, loss = train_step(params, opt_state, batch)
-            epoch_loss += float(loss)
+            # Per-step perturb key: epoch/step-indexed so every step of
+            # every epoch draws fresh noise, deterministically per seed.
+            step = (np.uint32(epoch * 1_000_003 + batch_idx)
+                    if perturb is not None else None)
+            params, opt_state, loss = train_step(params, opt_state, batch,
+                                                 step)
+            pending.append(loss)
             n_batches += 1
             if batch_idx % print_interval == 0:
+                epoch_loss += float(jnp.stack(pending).sum())
+                pending.clear()
                 print(f"Train Epoch {epoch} [{batch_idx}] "
                       f"Loss: {float(loss):.6f}")
+        if pending:
+            epoch_loss += float(jnp.stack(pending).sum())
+            pending.clear()
         train_loss = epoch_loss / max(n_batches, 1)
         print(f"Train epoch time: {time.time() - t1:.02f}s  "
               f"loss {train_loss:.4f}  rss {_rss_gb():.1f}G")
@@ -334,14 +391,27 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         seed_all(VAL_SEED)
         test_loss, n_test = 0.0, 0
         metrics = []
-        for batch_idx, batch in enumerate(test_loader):
-            if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
-                break
-            jb = tuple(jnp.asarray(b) for b in batch)
-            test_loss += float(eval_step(params, jb))
-            n_test += 1
-            if compute_val_metrics:
+        if compute_val_metrics:
+            # _sisdr_metrics needs the host batch — keep the simple loop.
+            for batch_idx, batch in enumerate(test_loader):
+                if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+                    break
+                jb = tuple(jnp.asarray(b) for b in batch)
+                test_loss += float(eval_step(params, jb))
+                n_test += 1
                 metrics.extend(_sisdr_metrics(model, model_name, params, batch))
+        else:
+            for batch_idx, batch in enumerate(_device_prefetch(test_loader)):
+                if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+                    break
+                pending.append(eval_step(params, batch))
+                n_test += 1
+                if len(pending) >= print_interval:
+                    test_loss += float(jnp.stack(pending).sum())
+                    pending.clear()
+            if pending:
+                test_loss += float(jnp.stack(pending).sum())
+                pending.clear()
         test_loss /= max(n_test, 1)
         print(f"Test set: Average Loss: {test_loss:.4f}")
         if metrics:

@@ -15,6 +15,7 @@ from .shift import (
     get_shift_vector,
     phase_offset,
     sample_offsets_for,
+    shift_crop_given_samples,
     shift_mixture_given_samples,
     to_categorical,
 )

@@ -73,6 +73,34 @@ def shift_mixture_given_samples(
     return out, shifts
 
 
+def shift_crop_given_samples(
+    input_data: np.ndarray, shifts: np.ndarray, start: int, length: int
+) -> np.ndarray:
+    """``shift_mixture_given_samples(x, shifts)[0][:, start:start+length]``
+    without materializing the full-length shifted array.
+
+    For an interior window (margin ``max|shift|+1`` fits inside the
+    signal), a circular shift never wraps the global edges into the crop, so
+    each channel is a direct strided read — this is the training data-prep
+    hot path when ``crop_seconds`` is set (full-T shift of a (35, 144k)
+    stack costs ~0.3 s/item on one host core, all of it thrown away by the
+    crop).  Boundary windows fall back to the exact full shift + crop."""
+    shifts = np.asarray(shifts)
+    n, T = input_data.shape
+    m = (int(np.max(np.abs(shifts))) if shifts.size else 0) + 1
+    if m <= T and start - m >= 0 and start + length + m <= T:
+        sl = input_data[:, start - m : start + length + m]
+        out = np.empty((n, length), dtype=np.float32)
+        for c in range(n):
+            s = int(shifts[c])
+            # roll(y, s)[m : m+length] == y[m-s : m-s+length] when |s| <= m
+            out[c] = sl[c, m - s : m - s + length]
+        return out
+    full, _ = shift_mixture_given_samples(input_data, shifts)
+    return np.ascontiguousarray(full[:, start : start + length],
+                                dtype=np.float32)
+
+
 def to_categorical(index: int, num_classes: int) -> np.ndarray:
     """1-hot encoding (reference: utils.py:155-159)."""
     data = np.zeros((num_classes,), dtype=np.float32)

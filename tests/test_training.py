@@ -429,3 +429,56 @@ def test_resume_takes_lr_and_scheduler_from_fresher_sidecar(tmp_path):
     assert float(summary["lr"]) == 1.5e-4              # fresh
     assert summary["scheduler"]["bad_epochs"] == 1
     assert summary["scheduler"]["best_loss"] == -1.45
+
+
+def test_device_perturb_matches_host_distribution():
+    """train._device_perturb: deterministic per key, adds noise with the
+    host perturb_audio's level semantics (per-item scalar levels bounded by
+    the max variances)."""
+    import jax
+
+    from acousticswarms_speech_tpu.training.train import _device_perturb
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((2, 7, 4096)).astype(np.float32) * 0.05
+    key = jax.random.PRNGKey(7)
+    out1 = np.asarray(_device_perturb(key, data, 1e-3, 5e-3))
+    out2 = np.asarray(_device_perturb(key, data, 1e-3, 5e-3))
+    np.testing.assert_array_equal(out1, out2)
+    noise = out1 - data
+    assert noise.std() > 0
+    # unit-variance pink * <=5e-3 + unit white * <=1e-3: well below 1e-2
+    assert noise.std() < 1e-2
+    # different key -> different noise
+    out3 = np.asarray(_device_perturb(jax.random.PRNGKey(8), data, 1e-3, 5e-3))
+    assert np.abs(out3 - out1).max() > 0
+
+
+def test_separation_dataset_perturb_on_device_skips_host_noise(dataset_dir):
+    """With perturb_on_device the item is the clean (cropped) shifted stack:
+    byte-identical across draws given the same RNG seed, and the crop lands
+    on the same window the legacy crop-after-shift picked."""
+    from acousticswarms_speech_tpu.training.datasets import SeparationDataset
+
+    ds = SeparationDataset(dataset_dir, "train", n_mics=7, n_speakers=3,
+                           compression_prob=0, crop_seconds=0.1)
+    ds.perturb_on_device = True
+    np.random.seed(5)
+    import random as _r
+    _r.seed(5)
+    x1, gt1, n1 = ds[0]
+    np.random.seed(5)
+    _r.seed(5)
+    x2, gt2, n2 = ds[0]
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(gt1, gt2)
+    assert x1.shape == (21, int(0.1 * FS))
+    assert gt1.shape == (3, int(0.1 * FS))
+    assert x1.dtype == np.float32
+
+    # host-perturb path still adds noise when the flag is off
+    ds.perturb_on_device = False
+    np.random.seed(5)
+    _r.seed(5)
+    x3, _, _ = ds[0]
+    assert np.abs(x3 - x1).max() > 0

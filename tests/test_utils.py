@@ -146,3 +146,46 @@ def test_opus_codec_roundtrip():
         # Lossy but correlated; robust check on the steady-state portion.
         c = np.corrcoef(x[FS // 4:], y[FS // 4:])[0, 1]
         assert c > 0.7
+
+
+def test_shift_crop_matches_full_shift():
+    from acousticswarms_speech_tpu.utils import shift_crop_given_samples
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((7, 4000)).astype(np.float32)
+    for start, L in [(1000, 800), (0, 800), (3200, 800), (50, 3900)]:
+        for _ in range(3):
+            shifts = rng.integers(-40, 41, size=7)
+            shifts[0] = 0
+            full, _ = shift_mixture_given_samples(x, shifts)
+            want = full[:, start : start + L]
+            got = shift_crop_given_samples(x, shifts, start, L)
+            np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # oversized shift: the full path's zero-out guard must be preserved
+    shifts = np.array([0, 5000, -3, 2, 0, 1, -1])
+    full, _ = shift_mixture_given_samples(x, shifts)
+    got = shift_crop_given_samples(x, shifts, 100, 500)
+    np.testing.assert_allclose(got, full[:, 100:600])
+
+
+def test_pink_noise_jax_matches_numpy_stats():
+    import jax
+
+    from acousticswarms_speech_tpu.utils.pink_noise import (
+        powerlaw_psd_gaussian_jax,
+    )
+
+    y = np.asarray(powerlaw_psd_gaussian_jax(1, (4, 2 ** 14),
+                                             jax.random.PRNGKey(0)))
+    assert y.shape == (4, 2 ** 14)
+    assert y.dtype == np.float32
+    spec = np.abs(np.fft.rfft(y, axis=-1)) ** 2
+    f = np.fft.rfftfreq(2 ** 14)
+    lo = spec[:, (f > 0.001) & (f < 0.01)].mean()
+    hi = spec[:, (f > 0.1) & (f < 0.5)].mean()
+    assert lo > hi * 5  # 1/f slope, same check as the numpy version
+    assert abs(y.std() - 1.0) < 0.1
+    # deterministic per key
+    y2 = np.asarray(powerlaw_psd_gaussian_jax(1, (4, 2 ** 14),
+                                              jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(y, y2)
