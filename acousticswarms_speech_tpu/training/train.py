@@ -364,22 +364,39 @@ def train(experiment_dir: str, seed: int = 0, print_interval: int = 20,
         # H2D, compute and RTT.  The periodic sync doubles as backpressure —
         # at most K batches (+ prefetch depth) are in flight on device.
         pending: list = []
-        for batch_idx, batch in enumerate(_device_prefetch(train_loader)):
-            if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+        timing = os.environ.get("ACOUSTIC_TRAIN_TIMING", "0") != "0"
+        t_fetch = t_step = t_sync = 0.0
+        it = iter(_device_prefetch(train_loader))
+        batch_idx = 0
+        while True:
+            t0 = time.time()
+            batch = next(it, None)
+            t_fetch += time.time() - t0
+            if batch is None or (max_steps_per_epoch
+                                 and batch_idx >= max_steps_per_epoch):
                 break
             # Per-step perturb key: epoch/step-indexed so every step of
             # every epoch draws fresh noise, deterministically per seed.
             step = (np.uint32(epoch * 1_000_003 + batch_idx)
                     if perturb is not None else None)
+            t0 = time.time()
             params, opt_state, loss = train_step(params, opt_state, batch,
                                                  step)
+            t_step += time.time() - t0
             pending.append(loss)
             n_batches += 1
             if batch_idx % print_interval == 0:
+                t0 = time.time()
                 epoch_loss += float(jnp.stack(pending).sum())
                 pending.clear()
+                t_sync += time.time() - t0
                 print(f"Train Epoch {epoch} [{batch_idx}] "
-                      f"Loss: {float(loss):.6f}")
+                      f"Loss: {float(loss):.6f}"
+                      + (f"  (fetch {t_fetch:.1f}s step {t_step:.1f}s "
+                         f"sync {t_sync:.1f}s)" if timing else ""))
+                if timing:
+                    t_fetch = t_step = t_sync = 0.0
+            batch_idx += 1
         if pending:
             epoch_loss += float(jnp.stack(pending).sum())
             pending.clear()
