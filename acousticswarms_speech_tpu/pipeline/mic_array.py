@@ -29,7 +29,13 @@ from ..constants import (
 from ..dsp.geometry import build_geometry
 from ..dsp.patch import Patch
 from ..search import power_trace
-from ..search.clustering import clustering_nms, find_merge_center, weight_mean_pos
+from ..search.clustering import (
+    NMS_TDOA_GATE,
+    clustering_nms,
+    find_merge_center,
+    weight_mean_pos,
+)
+from ..search.consistency import head_deviations
 from ..search.srp_pruning import SrpEngine
 from ..search.subdivide import binary_search_baseline, search_area
 
@@ -303,6 +309,16 @@ class MicArray:
                 sim[np.ix_(head_indices, head_indices)] if head_indices
                 else None
             )
+        # TDoA-consistency scores for the NMS stage (search/consistency.py):
+        # computed only when tracing or when the opt-in gate is on — the
+        # production default path pays nothing.
+        if head_indices and (power_trace.ENABLED or NMS_TDOA_GATE > 0):
+            ref_mix = full_mix if full_mix is not None else mix_data
+            devs = head_deviations(
+                [audio[g] for g in head_indices], np.asarray(ref_mix),
+                [p[3]["audio_offset"] for p in pending])
+            for (_, _, _, save_offsets, _), dev in zip(pending, devs):
+                save_offsets["tdoa_dev"] = dev
         for gidx, (patch_center, power, tag, save_offsets, big_label) in zip(
             head_indices, pending
         ):

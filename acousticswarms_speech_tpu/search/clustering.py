@@ -43,6 +43,14 @@ NMS_DIS_THRESHOLD = float(os.environ.get("NMS_DIS_THRESHOLD", "0.45"))
 # speaker (ADVICE r3).  Truncation is recorded in the nms_summary trace and
 # printed, so a capped scene is visible in results.
 NMS_MAX_OUT = int(os.environ.get("NMS_MAX_OUT", "8"))
+# TDoA-consistency gate (search/consistency.py): drop candidates whose
+# extracted audio's measured cross-correlation lags deviate from the claimed
+# position's offsets by more than this many samples BEFORE the greedy merge
+# loop, so off-position dominant-speaker leaks cannot absorb true heads.
+# 0 disables (default until validated on a labeled probe — scores are still
+# recorded in traces whenever tracing is on).  For scale: GT labels use a
+# 4.9-sample window (data/generate_srp_sample.py).
+NMS_TDOA_GATE = float(os.environ.get("NMS_TDOA_GATE", "0"))
 
 
 def effective_nms_config() -> dict:
@@ -55,6 +63,7 @@ def effective_nms_config() -> dict:
         "NMS_WIN_THRESHOLD2": NMS_WIN_THRESHOLD2,
         "NMS_DIS_THRESHOLD": NMS_DIS_THRESHOLD,
         "NMS_MAX_OUT": NMS_MAX_OUT,
+        "NMS_TDOA_GATE": NMS_TDOA_GATE,
     }
 
 
@@ -137,6 +146,22 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
     SI_SDR_THRESHOLD = NMS_SISDR_THRESHOLD
     order = sorted(range(len(output_pair)), key=lambda i: -output_pair[i][2])
     candidates = [output_pair[i] for i in order]
+
+    if NMS_TDOA_GATE > 0:
+        # Opt-in consistency gate: an off-position leak must not become a
+        # cluster head (it would absorb the true head and win on power).
+        kept = []
+        for k, cand in enumerate(candidates):
+            dev = cand[-2].get("tdoa_dev")
+            if dev is not None and dev > NMS_TDOA_GATE:
+                if power_trace.ENABLED:
+                    power_trace.record(
+                        "tdoa_gate_drop", label=int(cand[-1]),
+                        dev=float(dev), power=float(cand[2]))
+                continue
+            kept.append(k)
+        order = [order[k] for k in kept]
+        candidates = [candidates[k] for k in kept]
     clusters: dict[int, list[int]] = {}
     wrong_spotforming = []
 
@@ -236,7 +261,8 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
             powers=[float(c[2]) for c in candidates],
             centers=[np.asarray(c[0].center_pos()).tolist()
                      for c in candidates],
-            has_segments=[len(split_wav(c[1])) > 0 for c in candidates])
+            has_segments=[len(split_wav(c[1])) > 0 for c in candidates],
+            tdoa_dev=[c[-2].get("tdoa_dev") for c in candidates])
     if n_truncated:
         print(f"[nms] output cap NMS_MAX_OUT={NMS_MAX_OUT} truncated "
               f"{n_truncated} of {len(clusters)} clusters")

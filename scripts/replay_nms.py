@@ -53,16 +53,20 @@ def load_scenes(folder):
 
 def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
            win_thr2=NMS_WIN_THRESHOLD2, dis_thr=NMS_DIS_THRESHOLD,
-           max_out=NMS_MAX_OUT):
+           max_out=NMS_MAX_OUT, tdoa_gate=0.0):
     mat = np.asarray(summary["pair_sisdr"])
     centers = [np.asarray(c) for c in summary["centers"]]
     labels = summary["in_labels"]
     has_seg = summary["has_segments"]
+    devs = summary.get("tdoa_dev") or [None] * len(labels)
     n = len(labels)
     heads = []          # insertion-ordered head indices
     tested = missing = 0
     for i in range(n):
         if not has_seg[i]:
+            continue
+        if (tdoa_gate > 0 and devs[i] is not None
+                and devs[i] > tdoa_gate):
             continue
         merged = False
         seg_lists = []
@@ -119,8 +123,60 @@ def main(folder, thrs):
               f"{lh:>8}/{h:<5} {cov:>10.2f}")
 
 
+def dev_stats(folder):
+    """Labeled validation of the TDoA-consistency scores: deviation
+    distribution of GT-labeled vs negative candidates entering the NMS.
+    The gate is worth enabling iff the two distributions separate."""
+    scenes = load_scenes(folder)
+    gt_devs, neg_devs = [], []
+    for _, _, summary, _ in scenes:
+        devs = summary.get("tdoa_dev")
+        if not devs:
+            continue
+        for lab, dev in zip(summary["in_labels"], devs):
+            if dev is None:
+                continue
+            (gt_devs if lab >= 0 else neg_devs).append(dev)
+    for name, arr in [("GT-labeled", gt_devs), ("negative", neg_devs)]:
+        if not arr:
+            print(f"{name}: no scored candidates")
+            continue
+        a = np.asarray(arr)
+        print(f"{name}: n={len(a)} p10/p50/p90 = "
+              f"{np.percentile(a, 10):.1f}/{np.percentile(a, 50):.1f}/"
+              f"{np.percentile(a, 90):.1f} samples, "
+              f"<=5: {np.mean(a <= 5):.2f}, <=10: {np.mean(a <= 10):.2f}")
+
+
+def gate_sweep(folder, gates, sisdr_thr):
+    scenes = load_scenes(folder)
+    gt_total = sum(n for _, n, _, _ in scenes)
+    print(f"gate sweep at sisdr_thr={sisdr_thr} "
+          f"({len(scenes)} scenes, {gt_total} GT)")
+    print(f"{'gate':>6} {'heads/scene':>12} {'GT surviving':>13} "
+          f"{'labeled heads':>14}")
+    for g in gates:
+        h = lg = lh = 0
+        for _, n_spk, summary, pairs in scenes:
+            nh, out_labels, labeled, _, _ = replay(
+                summary, pairs, sisdr_thr, tdoa_gate=g)
+            h += nh
+            lg += len(out_labels)
+            lh += labeled
+        print(f"{g:>6.1f} {h / len(scenes):>12.2f} "
+              f"{lg}/{gt_total} ({lg / gt_total:.2f}){'':>2} "
+              f"{lh:>8}/{h:<5}")
+
+
 if __name__ == "__main__":
     folder = sys.argv[1]
-    thrs = [float(x) for x in sys.argv[2:]] or [
-        -3, -2, -1, 0, 1, 2, 3, 4, 6]
-    main(folder, thrs)
+    rest = sys.argv[2:]
+    if rest and rest[0] == "--devs":
+        dev_stats(folder)
+    elif rest and rest[0] == "--gate":
+        gates = [float(x) for x in rest[1:]] or [5, 8, 12, 24, 48]
+        gate_sweep(folder, gates, sisdr_thr=2.0)
+    else:
+        thrs = [float(x) for x in rest] or [
+            -3, -2, -1, 0, 1, 2, 3, 4, 6]
+        main(folder, thrs)
