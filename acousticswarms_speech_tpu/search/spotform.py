@@ -19,6 +19,8 @@ TPU runtime here is ~6 MB/s with ~0.5 s per-transfer latency):
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,11 +33,14 @@ from ..ops.shift import roll_channels_batch, roll_zero_fill_batch
 from ..ops.similarity import sisdr_matrix
 
 BUCKET = 128          # candidate-count granularity (one compile per bucket)
-MAP_CHUNK = 128       # candidates processed per lax.map step (HBM bound).
-                      # Measured on v5e (512-cand fine sweep, full SpotNet,
-                      # T=144000): chunk 32 -> 14.4 s, 64 -> 13.6 s,
-                      # 128 -> 12.4 s; larger chunks amortize per-step
-                      # overhead and keep the MXU fed.
+# candidates processed per lax.map step (HBM bound).  Env-overridable for
+# perf A/Bs: cropped selection sweeps (SPOT_CROP_SECONDS) halve per-chunk
+# activation memory, so chunk 256 — which OOMs at full T (23.3 GB vs
+# 15.75 GB HBM) — may fit and feed the MXU better there.
+# Default 128 measured-optimal on v5e (512-cand fine sweep, full SpotNet,
+# T=144000): chunk 32 -> 14.4 s, 64 -> 13.6 s, 128 -> 12.4 s; larger chunks
+# amortize per-step overhead and keep the MXU fed.
+MAP_CHUNK = int(os.environ.get("SPOT_MAP_CHUNK", "128"))
 
 
 @jax.jit
