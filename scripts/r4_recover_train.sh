@@ -25,6 +25,15 @@ TRAIN_TOTAL="${TRAIN_TOTAL:-3500}"
 
 echo "=== r4 recover $(date -u) ==="
 
+# Take over from the opportunistic early miner (started while the evidence
+# runbook held the chip) so two miners never race on the same range.
+for pf in /tmp/mine_early2.pid /tmp/mine_early2_child.pid; do
+  if [ -f "$pf" ] && kill -0 "$(cat "$pf")" 2>/dev/null; then
+    kill "$(cat "$pf")" 2>/dev/null || true
+  fi
+done
+sleep 3
+
 # A. corpus + val mining (skip-fast when done)
 python -m acousticswarms_speech_tpu.data.generate_dataset .voices_v1 \
   .speechdata_v1 --n_outputs_train 800 --n_outputs_test 0 \
