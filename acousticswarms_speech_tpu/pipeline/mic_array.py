@@ -30,6 +30,7 @@ from ..dsp.geometry import build_geometry
 from ..dsp.patch import Patch
 from ..search import power_trace
 from ..search.clustering import (
+    NMS_TDOA_ELECT,
     NMS_TDOA_GATE,
     clustering_nms,
     find_merge_center,
@@ -312,7 +313,8 @@ class MicArray:
         # TDoA-consistency scores for the NMS stage (search/consistency.py):
         # computed only when tracing or when the opt-in gate is on — the
         # production default path pays nothing.
-        if head_indices and (power_trace.ENABLED or NMS_TDOA_GATE > 0):
+        if head_indices and (power_trace.ENABLED or NMS_TDOA_GATE > 0
+                             or NMS_TDOA_ELECT):
             ref_mix = full_mix if full_mix is not None else mix_data
             devs = head_deviations(
                 [audio[g] for g in head_indices], np.asarray(ref_mix),

@@ -51,6 +51,14 @@ NMS_MAX_OUT = int(os.environ.get("NMS_MAX_OUT", "8"))
 # recorded in traces whenever tracing is on).  For scale: GT labels use a
 # 4.9-sample window (data/generate_srp_sample.py).
 NMS_TDOA_GATE = float(os.environ.get("NMS_TDOA_GATE", "0"))
+# Consistency-based head election (opt-in): after the greedy merge, report
+# each cluster through its most position-consistent member (lowest TDoA
+# deviation) instead of its highest-power one.  Rationale: when a true head
+# is absorbed by an off-position leak, the cluster still contains the true
+# head — electing by consistency fixes the cluster's reported position and
+# audio even though the merge itself was unavoidable (the audio is
+# near-identical).  Power stays the tiebreaker via insertion order.
+NMS_TDOA_ELECT = os.environ.get("NMS_TDOA_ELECT", "0") == "1"
 
 
 def effective_nms_config() -> dict:
@@ -64,6 +72,7 @@ def effective_nms_config() -> dict:
         "NMS_DIS_THRESHOLD": NMS_DIS_THRESHOLD,
         "NMS_MAX_OUT": NMS_MAX_OUT,
         "NMS_TDOA_GATE": NMS_TDOA_GATE,
+        "NMS_TDOA_ELECT": NMS_TDOA_ELECT,
     }
 
 
@@ -272,6 +281,18 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
     # NMS_MAX_OUT keeps the strongest heads.
     for cluster_id in list(clusters)[:NMS_MAX_OUT]:
         head = clusters[cluster_id][0]
+        if NMS_TDOA_ELECT and len(clusters[cluster_id]) > 1:
+            scored = [(m, candidates[m][-2].get("tdoa_dev"))
+                      for m in clusters[cluster_id]]
+            if all(dev is not None for _, dev in scored):
+                elected = min(scored, key=lambda t: t[1])[0]
+                if elected != head and power_trace.ENABLED:
+                    power_trace.record(
+                        "tdoa_elect", head_label=int(candidates[head][-1]),
+                        elected_label=int(candidates[elected][-1]),
+                        head_dev=float(scored[0][1]),
+                        elected_dev=float(dict(scored)[elected]))
+                head = elected
         patch_final.append(candidates[head])
         audio_final.append(candidates[head][1])
     return audio_final, patch_final, wrong_spotforming

@@ -99,6 +99,30 @@ def test_nms_gate_drops_offposition_head(monkeypatch):
     assert len(final) == 1 and final[0][3] == "0_0"
 
 
+def test_nms_elect_reports_consistent_member(monkeypatch):
+    """With election on, a cluster formed under an off-position head is
+    reported through its most position-consistent member."""
+    rng = np.random.default_rng(7)
+    T = 30000
+    a = rng.normal(size=T) * np.clip(
+        np.sin(2 * np.pi * 2.0 * np.arange(T) / 48000), 0, None)
+
+    def pair(pos, audio, power, tag, dev):
+        p = Patch(np.zeros(6), [3.0] * 6, None, peak_pos=np.asarray(pos))
+        return (p, audio, power, tag,
+                {"audio_offset": np.zeros(6),
+                 "localization_offset": np.zeros(6),
+                 "tdoa_dev": dev}, -1)
+
+    leak = pair([3.0, 3.0, 0.3], a, 2.0, "1_0", dev=31.0)
+    true_head = pair([1.0, 1.0, 0.3],
+                     a + 1e-4 * rng.normal(size=T), 1.0, "0_0", dev=1.0)
+
+    monkeypatch.setattr(clustering, "NMS_TDOA_ELECT", True)
+    _, final, _ = clustering.clustering_nms([leak, true_head])
+    assert len(final) == 1 and final[0][3] == "0_0"
+
+
 def test_leaked_extraction_scores_high():
     """An extraction whose content is a DIFFERENT source (dominant-speaker
     leakage at an off-target position) deviates by the TDoA gap between the
