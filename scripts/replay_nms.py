@@ -53,7 +53,7 @@ def load_scenes(folder):
 
 def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
            win_thr2=NMS_WIN_THRESHOLD2, dis_thr=NMS_DIS_THRESHOLD,
-           max_out=NMS_MAX_OUT, tdoa_gate=0.0):
+           max_out=NMS_MAX_OUT, tdoa_gate=0.0, elect=False):
     mat = np.asarray(summary["pair_sisdr"])
     centers = [np.asarray(c) for c in summary["centers"]]
     labels = summary["in_labels"]
@@ -61,6 +61,7 @@ def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
     devs = summary.get("tdoa_dev") or [None] * len(labels)
     n = len(labels)
     heads = []          # insertion-ordered head indices
+    members = {}        # head index -> cluster member indices (incl. head)
     tested = missing = 0
     for i in range(n):
         if not has_seg[i]:
@@ -82,15 +83,33 @@ def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
             dis = float(np.linalg.norm(centers[i][:2] - centers[head][:2]))
             if mat[i, head] > sisdr_thr or win_ok or dis < dis_thr:
                 merged = True
+                members[head].append(i)
                 break
         if not merged and seg_lists:
             seg_max = np.amax(np.asarray(seg_lists), axis=0)
             if check_sisnr_win(seg_max, threshold=win_thr + 1,
                                threshold2=win_thr2 + 2):
+                # segment-max drop: absorbed by the combination of existing
+                # heads; attribute to the nearest (first tested) head so the
+                # member is still electable there.
                 merged = True
+                members[heads[0]].append(i)
         if not merged:
             heads.append(i)
+            members[i] = [i]
     heads = heads[:max_out]
+    if elect:
+        # Consistency-based head election (search/clustering.py
+        # NMS_TDOA_ELECT): report each cluster through its lowest-deviation
+        # member when every member carries a score.
+        elected = []
+        for h in heads:
+            scored = [(m, devs[m]) for m in members[h]]
+            if all(d is not None for _, d in scored):
+                elected.append(min(scored, key=lambda t: t[1])[0])
+            else:
+                elected.append(h)
+        heads = elected
     out_labels = set(labels[h] for h in heads if labels[h] >= 0)
     labeled_heads = sum(1 for h in heads if labels[h] >= 0)
     return len(heads), out_labels, labeled_heads, tested, missing
@@ -168,6 +187,28 @@ def gate_sweep(folder, gates, sisdr_thr):
               f"{lh:>8}/{h:<5}")
 
 
+def elect_compare(folder, sisdr_thr):
+    """A/B the consistency-based head election (NMS_TDOA_ELECT) offline:
+    same greedy clustering, heads reported power-first vs lowest-dev member.
+    Election cannot change heads/scene — only which member (and therefore
+    which label/position/audio) represents each cluster."""
+    scenes = load_scenes(folder)
+    gt_total = sum(n for _, n, _, _ in scenes)
+    print(f"elect A/B at sisdr_thr={sisdr_thr} "
+          f"({len(scenes)} scenes, {gt_total} GT)")
+    for name, el in [("power head", False), ("elected   ", True)]:
+        h = lg = lh = 0
+        for _, n_spk, summary, pairs in scenes:
+            nh, out_labels, labeled, _, _ = replay(
+                summary, pairs, sisdr_thr, elect=el)
+            h += nh
+            lg += len(out_labels)
+            lh += labeled
+        print(f"{name}: heads/scene {h / len(scenes):.2f}, GT surviving "
+              f"{lg}/{gt_total} ({lg / gt_total:.2f}), labeled heads "
+              f"{lh}/{h}")
+
+
 if __name__ == "__main__":
     folder = sys.argv[1]
     rest = sys.argv[2:]
@@ -176,6 +217,9 @@ if __name__ == "__main__":
     elif rest and rest[0] == "--gate":
         gates = [float(x) for x in rest[1:]] or [5, 8, 12, 24, 48]
         gate_sweep(folder, gates, sisdr_thr=2.0)
+    elif rest and rest[0] == "--elect":
+        elect_compare(folder, sisdr_thr=float(rest[1]) if len(rest) > 1
+                      else 2.0)
     else:
         thrs = [float(x) for x in rest] or [
             -3, -2, -1, 0, 1, 2, 3, 4, 6]
