@@ -42,8 +42,13 @@ def test_deviation_zero_for_true_position():
 def test_deviation_exposes_off_position_claim():
     rng = np.random.default_rng(2)
     y, x, offsets = _scene(rng)
-    wrong = offsets + np.array([9, -6, 0, 3, -11, 7])
-    assert tdoa_deviation(y, x, wrong) == 11.0
+    delta = np.array([9, -6, 0, 3, -11, 7])
+    wrong = offsets + delta
+    # robust statistic: median |d - median(d)| over d = [0, -delta]
+    d = np.concatenate([[0.0], -delta])
+    expected = float(np.median(np.abs(d - np.median(d))))
+    assert tdoa_deviation(y, x, wrong) == expected
+    assert expected >= 5.0  # clearly leak-side of the gate scale
 
 
 def test_deviation_with_interfering_speaker():
@@ -135,5 +140,7 @@ def test_leaked_extraction_scores_high():
     # head claims the first source's position but contains the second
     dev = tdoa_deviation(y2, mix, offsets)
     true_rel = np.array(taus2[1:]) - taus2[0]
-    expected = np.max(np.abs(true_rel - offsets))
-    assert dev == float(expected)
+    d = np.concatenate([[0.0], true_rel - offsets])
+    expected = float(np.median(np.abs(d - np.median(d))))
+    assert dev == expected
+    assert expected >= 5.0
