@@ -64,8 +64,11 @@ def measured_lags(head_audio: np.ndarray, mix: np.ndarray,
                   max_lag: int = MAX_LAG) -> np.ndarray:
     """Per-mic GCC-PHAT argmax lag of `head_audio` (T,) against each raw
     channel of `mix` (M, T): lag_m = argmax_l IFFT[whiten(conj(Y) X_m)](l),
-    restricted to |l| <= max_lag.  Zero-padding past T + 2*max_lag keeps
-    the restricted window wrap-free."""
+    restricted to |l| <= max_lag.  Zero-padding past T + 2*max_lag makes
+    the restricted window wrap-free for the unwhitened linear correlation;
+    under PHAT whitening the IFFT is no longer that exact linear
+    correlation, so the guarantee is approximate there (practically
+    negligible — ADVICE r4)."""
     y = np.asarray(head_audio, dtype=np.float32)
     x = np.asarray(mix, dtype=np.float32)
     T = min(y.shape[-1], x.shape[-1])

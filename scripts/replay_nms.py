@@ -89,15 +89,17 @@ def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
             seg_max = np.amax(np.asarray(seg_lists), axis=0)
             if check_sisnr_win(seg_max, threshold=win_thr + 1,
                                threshold2=win_thr2 + 2):
-                # segment-max drop: absorbed by the combination of existing
-                # heads; attribute to the nearest (first tested) head so the
-                # member is still electable there.
+                # segment-max drop: absorbed by the COMBINATION of existing
+                # heads.  Online (clustering.py:231-241) such a candidate
+                # joins NO cluster and is therefore never electable — mirror
+                # that exactly so the elect A/B matches live semantics
+                # (ADVICE r4).
                 merged = True
-                members[heads[0]].append(i)
         if not merged:
             heads.append(i)
             members[i] = [i]
     heads = heads[:max_out]
+    electable = 0
     if elect:
         # Consistency-based head election (search/clustering.py
         # NMS_TDOA_ELECT): report each cluster through its lowest-deviation
@@ -106,13 +108,15 @@ def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
         for h in heads:
             scored = [(m, devs[m]) for m in members[h]]
             if all(d is not None for _, d in scored):
+                if len(scored) > 1:
+                    electable += 1
                 elected.append(min(scored, key=lambda t: t[1])[0])
             else:
                 elected.append(h)
         heads = elected
     out_labels = set(labels[h] for h in heads if labels[h] >= 0)
     labeled_heads = sum(1 for h in heads if labels[h] >= 0)
-    return len(heads), out_labels, labeled_heads, tested, missing
+    return len(heads), out_labels, labeled_heads, tested, missing, electable
 
 
 def main(folder, thrs):
@@ -129,7 +133,7 @@ def main(folder, thrs):
     for thr in thrs:
         h = lg = lh = t = m = 0
         for _, n_spk, summary, pairs in scenes:
-            nh, out_labels, labeled, tested, missing = replay(
+            nh, out_labels, labeled, tested, missing, _ = replay(
                 summary, pairs, thr)
             h += nh
             lg += len(out_labels)
@@ -177,7 +181,7 @@ def gate_sweep(folder, gates, sisdr_thr):
     for g in gates:
         h = lg = lh = 0
         for _, n_spk, summary, pairs in scenes:
-            nh, out_labels, labeled, _, _ = replay(
+            nh, out_labels, labeled, _, _, _ = replay(
                 summary, pairs, sisdr_thr, tdoa_gate=g)
             h += nh
             lg += len(out_labels)
@@ -197,16 +201,21 @@ def elect_compare(folder, sisdr_thr):
     print(f"elect A/B at sisdr_thr={sisdr_thr} "
           f"({len(scenes)} scenes, {gt_total} GT)")
     for name, el in [("power head", False), ("elected   ", True)]:
-        h = lg = lh = 0
+        h = lg = lh = ec = 0
         for _, n_spk, summary, pairs in scenes:
-            nh, out_labels, labeled, _, _ = replay(
+            nh, out_labels, labeled, _, _, electable = replay(
                 summary, pairs, sisdr_thr, elect=el)
             h += nh
             lg += len(out_labels)
             lh += labeled
+            ec += electable
         print(f"{name}: heads/scene {h / len(scenes):.2f}, GT surviving "
               f"{lg}/{gt_total} ({lg / gt_total:.2f}), labeled heads "
               f"{lh}/{h}")
+        if el and ec == 0:
+            print("WARNING: no cluster had >1 fully-scored members — "
+                  "election never fired (traces predate tdoa_dev or "
+                  "scoring was off); this A/B is a no-op.")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ def test_deviation_exposes_off_position_claim():
     # robust statistic: median |d - median(d)| over d = [0, -delta]
     d = np.concatenate([[0.0], -delta])
     expected = float(np.median(np.abs(d - np.median(d))))
+    # hand-computed anchor, independent of the shared formula (ADVICE r4):
+    # d = [0,-9,6,0,-3,11,-7], median(d)=0, |d| sorted = [0,0,3,6,7,9,11]
+    # -> median 6.0.  A sign-convention bug in both places would break this.
+    assert expected == 6.0
     assert tdoa_deviation(y, x, wrong) == expected
     assert expected >= 5.0  # clearly leak-side of the gate scale
 
