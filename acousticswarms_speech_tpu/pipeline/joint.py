@@ -36,7 +36,9 @@ class JointPipeline:
         (PERF.md round-3 roofline), so bytes, not FLOPs, set its time, and
         selection only needs power/similarity statistics.  Cluster heads get
         one extra full-T strict sweep for NMS decisions and output audio.
-        Default off (0) until validated end-to-end on a traced probe."""
+        Default 1.5 s since round 5: quality-neutral on the traced 12-scene
+        probe (commit 1109f73) and re-validated on the round-5 wide eval;
+        SPOT_CROP_SECONDS=0 restores full-T selection sweeps."""
         self.spot_model = SpotformExecutor(spot_model, spot_params,
                                            batch_size=spot_batch_size,
                                            use_bf16=use_bf16, mesh=mesh)
@@ -45,7 +47,7 @@ class JointPipeline:
         env_crop = os.environ.get("SPOT_CROP_SECONDS")
         self.sweep_crop_seconds = (
             float(env_crop) if env_crop is not None
-            else (sweep_crop_seconds or 0.0))
+            else (1.5 if sweep_crop_seconds is None else sweep_crop_seconds))
         self.times = [0.0] * 5
         self.previous_config: str | None = None
         self.mic_processor: MicArray | None = None

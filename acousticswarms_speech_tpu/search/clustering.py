@@ -47,18 +47,27 @@ NMS_MAX_OUT = int(os.environ.get("NMS_MAX_OUT", "8"))
 # extracted audio's measured cross-correlation lags deviate from the claimed
 # position's offsets by more than this many samples BEFORE the greedy merge
 # loop, so off-position dominant-speaker leaks cannot absorb true heads.
-# 0 disables (default until validated on a labeled probe — scores are still
-# recorded in traces whenever tracing is on).  For scale: GT labels use a
-# 4.9-sample window (data/generate_srp_sample.py).
+# DEFAULT 0 = OFF, by labeled-replay finding (round 5, PERF.md): on the
+# r6_probe2 traces the deviation distributions of GT-labeled vs negative
+# candidates computed from *extracted* audio overlap heavily (GT p50/p90 =
+# 3/59 vs neg 6/50), and every gate in [3, 48] REDUCED GT-surviving heads
+# (6 -> 5).  The clean GT-audio separation (<=1 vs >=3) does not transfer
+# to net extractions at current net quality; the gate cannot deliver the
+# recall target and stays off.  For scale: GT labels use a 4.9-sample
+# window (data/generate_srp_sample.py).
 NMS_TDOA_GATE = float(os.environ.get("NMS_TDOA_GATE", "0"))
-# Consistency-based head election (opt-in): after the greedy merge, report
-# each cluster through its most position-consistent member (lowest TDoA
+# Consistency-based head election: after the greedy merge, report each
+# cluster through its most position-consistent member (lowest TDoA
 # deviation) instead of its highest-power one.  Rationale: when a true head
 # is absorbed by an off-position leak, the cluster still contains the true
 # head — electing by consistency fixes the cluster's reported position and
 # audio even though the merge itself was unavoidable (the audio is
 # near-identical).  Power stays the tiebreaker via insertion order.
-NMS_TDOA_ELECT = os.environ.get("NMS_TDOA_ELECT", "0") == "1"
+# DEFAULT ON since round 5: exact-semantics offline replay on the r6_probe2
+# labeled traces (scripts/replay_nms.py --elect, post-ADVICE-r4 fix) nearly
+# doubles GT-carrying heads (6/19 -> 11/19 of 39 GT) at identical
+# heads/scene; confirmed live on the traced probe before the default flip.
+NMS_TDOA_ELECT = os.environ.get("NMS_TDOA_ELECT", "1") == "1"
 
 
 def effective_nms_config() -> dict:

@@ -150,6 +150,10 @@ class _BatchedSweep:
         self.mesh = mesh
         self.calls = 0
         self._programs: dict = {}
+        # Executors are shared across throughput-mode lanes
+        # (pipeline/throughput.py): serialize program builds so two lanes
+        # hitting a new bucket size don't trace/compile it twice.
+        self._build_lock = __import__("threading").Lock()
 
     def _chunk_fn(self, mix, shifts_chunk, onehot):
         """(MAP_CHUNK, M) shifts -> (out (MAP_CHUNK, T), total, win)."""
@@ -239,7 +243,9 @@ class _BatchedSweep:
 
         key = (k_pad, with_similarity)
         if key not in self._programs:
-            self._programs[key] = self._build(k_pad, with_similarity)
+            with self._build_lock:
+                if key not in self._programs:
+                    self._programs[key] = self._build(k_pad, with_similarity)
         res = self._programs[key](mix, jnp.asarray(shifts), onehot,
                                   *self._extra_args())
         self.calls += num_patches
