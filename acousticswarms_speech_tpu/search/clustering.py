@@ -68,6 +68,17 @@ NMS_TDOA_GATE = float(os.environ.get("NMS_TDOA_GATE", "0"))
 # doubles GT-carrying heads (6/19 -> 11/19 of 39 GT) at identical
 # heads/scene; confirmed live on the traced probe before the default flip.
 NMS_TDOA_ELECT = os.environ.get("NMS_TDOA_ELECT", "1") == "1"
+# Consistency split (opt-in, round 5): a cluster that absorbed members which
+# are BOTH position-consistent (TDoA deviation <= NMS_SPLIT_DEV — their
+# audio really correlates at their claimed position) AND at least
+# NMS_SPLIT_DIS meters (2D) from every emitted head is hiding a second
+# genuine speaker behind the dominant-speaker leakage that merged them;
+# emit those members as extra heads (globally deviation-ascending) up to
+# NMS_MAX_OUT total.  Offline proxy on the r7_elect labeled traces
+# (scripts/replay_nms.py --split): dev 3 / dis 0.8 lifts GT-surviving
+# 0.28 -> 0.44 at 3.42 heads/scene (GT 3.25).  0 disables.
+NMS_SPLIT_DEV = float(os.environ.get("NMS_SPLIT_DEV", "0"))
+NMS_SPLIT_DIS = float(os.environ.get("NMS_SPLIT_DIS", "0.8"))
 
 
 def effective_nms_config() -> dict:
@@ -82,6 +93,8 @@ def effective_nms_config() -> dict:
         "NMS_MAX_OUT": NMS_MAX_OUT,
         "NMS_TDOA_GATE": NMS_TDOA_GATE,
         "NMS_TDOA_ELECT": NMS_TDOA_ELECT,
+        "NMS_SPLIT_DEV": NMS_SPLIT_DEV,
+        "NMS_SPLIT_DIS": NMS_SPLIT_DIS,
     }
 
 
@@ -288,6 +301,7 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
     audio_final = []
     # candidates are power-sorted, so insertion order is power order;
     # NMS_MAX_OUT keeps the strongest heads.
+    emitted = []
     for cluster_id in list(clusters)[:NMS_MAX_OUT]:
         head = clusters[cluster_id][0]
         if NMS_TDOA_ELECT and len(clusters[cluster_id]) > 1:
@@ -302,6 +316,32 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
                         head_dev=float(scored[0][1]),
                         elected_dev=float(dict(scored)[elected]))
                 head = elected
+        emitted.append(head)
+    if NMS_SPLIT_DEV > 0:
+        # Consistency split (see NMS_SPLIT_DEV above; offline counterpart
+        # scripts/replay_nms.py --split — keep semantics in lockstep):
+        # extra heads globally deviation-ascending, each at least
+        # NMS_SPLIT_DIS from every already-emitted head.
+        in_cluster = [m for ms in clusters.values() for m in ms]
+        extras = sorted(
+            ((m, candidates[m][-2].get("tdoa_dev")) for m in in_cluster
+             if m not in emitted
+             and candidates[m][-2].get("tdoa_dev") is not None
+             and candidates[m][-2]["tdoa_dev"] <= NMS_SPLIT_DEV),
+            key=lambda t: t[1])
+        for m, dev in extras:
+            if len(emitted) >= NMS_MAX_OUT:
+                break
+            pos = np.asarray(candidates[m][0].center_pos())[:2]
+            if all(np.linalg.norm(
+                    pos - np.asarray(candidates[e][0].center_pos())[:2])
+                    >= NMS_SPLIT_DIS for e in emitted):
+                if power_trace.ENABLED:
+                    power_trace.record(
+                        "tdoa_split", label=int(candidates[m][-1]),
+                        dev=float(dev))
+                emitted.append(m)
+    for head in emitted:
         patch_final.append(candidates[head])
         audio_final.append(candidates[head][1])
     return audio_final, patch_final, wrong_spotforming

@@ -53,7 +53,8 @@ def load_scenes(folder):
 
 def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
            win_thr2=NMS_WIN_THRESHOLD2, dis_thr=NMS_DIS_THRESHOLD,
-           max_out=NMS_MAX_OUT, tdoa_gate=0.0, elect=False):
+           max_out=NMS_MAX_OUT, tdoa_gate=0.0, elect=False,
+           split_dev=0.0, split_dis=0.0):
     mat = np.asarray(summary["pair_sisdr"])
     centers = [np.asarray(c) for c in summary["centers"]]
     labels = summary["in_labels"]
@@ -114,6 +115,25 @@ def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
             else:
                 elected.append(h)
         heads = elected
+    if split_dev > 0:
+        # Consistency split: a cluster that absorbed members which are BOTH
+        # position-consistent (low TDoA deviation — their audio really
+        # correlates at their claimed position) AND spatially distinct from
+        # every emitted head is hiding a second genuine speaker; emit those
+        # members as extra heads (dev-ascending) up to max_out total.
+        extras = []
+        emitted = list(heads)
+        cands = sorted(
+            ((m, devs[m]) for h in members for m in members[h]
+             if m not in emitted and devs[m] is not None
+             and devs[m] <= split_dev),
+            key=lambda t: t[1])
+        for m, _ in cands:
+            if all(float(np.linalg.norm(centers[m][:2] - centers[e][:2]))
+                   >= split_dis for e in emitted):
+                extras.append(m)
+                emitted.append(m)
+        heads = (heads + extras)[:max_out]
     out_labels = set(labels[h] for h in heads if labels[h] >= 0)
     labeled_heads = sum(1 for h in heads if labels[h] >= 0)
     return len(heads), out_labels, labeled_heads, tested, missing, electable
@@ -218,6 +238,32 @@ def elect_compare(folder, sisdr_thr):
                   "scoring was off); this A/B is a no-op.")
 
 
+def split_sweep(folder, sisdr_thr):
+    """Grid the consistency-split knobs (split_dev x split_dis) with
+    election on: GT-surviving is the recall proxy, labeled-heads/heads the
+    precision proxy (conservative — eval matches on distance + SI-SDR, not
+    the 4.9-sample label window)."""
+    scenes = load_scenes(folder)
+    gt_total = sum(n for _, n, _, _ in scenes)
+    print(f"split sweep at sisdr_thr={sisdr_thr}, elect on "
+          f"({len(scenes)} scenes, {gt_total} GT)")
+    print(f"{'dev':>5} {'dis':>5} {'heads/scene':>12} {'GT surviving':>14} "
+          f"{'labeled heads':>14}")
+    for dev in [0.0, 2.0, 3.0, 5.0, 8.0, 12.0]:
+        for dis in ([0.0] if dev == 0 else [0.45, 0.8, 1.2]):
+            h = lg = lh = 0
+            for _, n_spk, summary, pairs in scenes:
+                nh, out_labels, labeled, _, _, _ = replay(
+                    summary, pairs, sisdr_thr, elect=True,
+                    split_dev=dev, split_dis=dis)
+                h += nh
+                lg += len(out_labels)
+                lh += labeled
+            print(f"{dev:>5.1f} {dis:>5.2f} {h / len(scenes):>12.2f} "
+                  f"{lg}/{gt_total} ({lg / gt_total:.2f}){'':>3} "
+                  f"{lh:>8}/{h:<5}")
+
+
 if __name__ == "__main__":
     folder = sys.argv[1]
     rest = sys.argv[2:]
@@ -229,6 +275,8 @@ if __name__ == "__main__":
     elif rest and rest[0] == "--elect":
         elect_compare(folder, sisdr_thr=float(rest[1]) if len(rest) > 1
                       else 2.0)
+    elif rest and rest[0] == "--split":
+        split_sweep(folder, sisdr_thr=2.0)
     else:
         thrs = [float(x) for x in rest] or [
             -3, -2, -1, 0, 1, 2, 3, 4, 6]

@@ -98,7 +98,8 @@ def test_nms_gate_drops_offposition_head(monkeypatch):
     true_head = pair([1.0, 1.0, 0.3],
                      a + 1e-4 * rng.normal(size=T), 1.0, "0_0", dev=1.0)
 
-    # Gate off (default): identical audio -> the leak wins on power.
+    # Gate off, election off: identical audio -> the leak wins on power.
+    monkeypatch.setattr(clustering, "NMS_TDOA_ELECT", False)
     _, final, _ = clustering.clustering_nms([leak, true_head])
     assert len(final) == 1 and final[0][3] == "1_0"
 
@@ -130,6 +131,42 @@ def test_nms_elect_reports_consistent_member(monkeypatch):
     monkeypatch.setattr(clustering, "NMS_TDOA_ELECT", True)
     _, final, _ = clustering.clustering_nms([leak, true_head])
     assert len(final) == 1 and final[0][3] == "0_0"
+
+
+def test_nms_split_emits_distinct_consistent_member(monkeypatch):
+    """With the consistency split on, a merged cluster hiding a second
+    position-consistent member far from the head emits it as an extra
+    head; an inconsistent or nearby member is not emitted."""
+    rng = np.random.default_rng(8)
+    T = 30000
+    a = rng.normal(size=T) * np.clip(
+        np.sin(2 * np.pi * 2.0 * np.arange(T) / 48000), 0, None)
+
+    def pair(pos, audio, power, tag, dev):
+        p = Patch(np.zeros(6), [3.0] * 6, None, peak_pos=np.asarray(pos))
+        return (p, audio, power, tag,
+                {"audio_offset": np.zeros(6),
+                 "localization_offset": np.zeros(6),
+                 "tdoa_dev": dev}, -1)
+
+    head = pair([1.0, 1.0, 0.3], a, 2.0, "head", dev=0.5)
+    far_good = pair([3.0, 3.0, 0.3],
+                    a + 1e-4 * rng.normal(size=T), 1.0, "far_good", dev=1.0)
+    far_bad = pair([4.5, 1.0, 0.3],
+                   a + 2e-4 * rng.normal(size=T), 0.9, "far_bad", dev=20.0)
+    near_good = pair([1.2, 1.0, 0.3],
+                     a + 3e-4 * rng.normal(size=T), 0.8, "near_good", dev=0.8)
+
+    # all four merge into one cluster (identical audio); default: 1 head
+    _, final, _ = clustering.clustering_nms(
+        [head, far_good, far_bad, near_good])
+    assert [f[3] for f in final] == ["head"]
+
+    monkeypatch.setattr(clustering, "NMS_SPLIT_DEV", 3.0)
+    monkeypatch.setattr(clustering, "NMS_SPLIT_DIS", 0.8)
+    _, final, _ = clustering.clustering_nms(
+        [head, far_good, far_bad, near_good])
+    assert [f[3] for f in final] == ["head", "far_good"]
 
 
 def test_leaked_extraction_scores_high():

@@ -67,7 +67,7 @@ def test_replay_matches_live_nms(monkeypatch):
     replay_mod = _load_replay()
     pair_recs = {(r["i"], r["head"]): r for r in recs
                  if r["stage"] == "nms_pair"}
-    n_heads, out_labels, labeled_heads, _, missing = replay_mod.replay(
+    n_heads, out_labels, labeled_heads, _, missing, _ = replay_mod.replay(
         summary, pair_recs, clustering.NMS_SISDR_THRESHOLD,
         win_thr=clustering.NMS_WIN_THRESHOLD,
         win_thr2=clustering.NMS_WIN_THRESHOLD2,
