@@ -68,17 +68,26 @@ NMS_TDOA_GATE = float(os.environ.get("NMS_TDOA_GATE", "0"))
 # doubles GT-carrying heads (6/19 -> 11/19 of 39 GT) at identical
 # heads/scene; confirmed live on the traced probe before the default flip.
 NMS_TDOA_ELECT = os.environ.get("NMS_TDOA_ELECT", "1") == "1"
-# Consistency split (opt-in, round 5): a cluster that absorbed members which
-# are BOTH position-consistent (TDoA deviation <= NMS_SPLIT_DEV — their
-# audio really correlates at their claimed position) AND at least
-# NMS_SPLIT_DIS meters (2D) from every emitted head is hiding a second
-# genuine speaker behind the dominant-speaker leakage that merged them;
-# emit those members as extra heads (globally deviation-ascending) up to
-# NMS_MAX_OUT total.  Offline proxy on the r7_elect labeled traces
-# (scripts/replay_nms.py --split): dev 3 / dis 0.8 lifts GT-surviving
-# 0.28 -> 0.44 at 3.42 heads/scene (GT 3.25).  0 disables.
-NMS_SPLIT_DEV = float(os.environ.get("NMS_SPLIT_DEV", "0"))
-NMS_SPLIT_DIS = float(os.environ.get("NMS_SPLIT_DIS", "0.8"))
+# Consistency split (round 5): a cluster that absorbed members which are
+# BOTH position-consistent (TDoA deviation <= NMS_SPLIT_DEV — their audio
+# really correlates at their claimed position) AND at least NMS_SPLIT_DIS
+# meters (2D) from every emitted head is hiding a second genuine speaker
+# behind the dominant-speaker leakage that merged them; emit those members
+# as extra heads (globally deviation-ascending) up to NMS_SPLIT_MAX total
+# heads.  NMS_SPLIT_POW drops extras quieter than that fraction of their
+# cluster head's power.  NMS_SPLIT_DEV=0 disables.
+#
+# Default ON since round 5 — live 12-scene A/B (.results_r8_split, dev 3 /
+# dis 0.8 / no cap): recall 0.436 -> 0.615 at precision 0.895 -> 0.615.
+# Defaults refined from the labeled-trace sweep (replay_nms --split):
+# dis 1.2 + pow 0.25 keep 14/15 of the proxy's GT gain while cutting
+# extra-head volume ~30% (labeled-head ratio 0.39 -> 0.50), and the
+# 5-head cap keeps the separation stage in its trained <=5-speaker bucket
+# (max_speakers=5; S>5 pads to 10 and separation quality collapses).
+NMS_SPLIT_DEV = float(os.environ.get("NMS_SPLIT_DEV", "3"))
+NMS_SPLIT_DIS = float(os.environ.get("NMS_SPLIT_DIS", "1.2"))
+NMS_SPLIT_POW = float(os.environ.get("NMS_SPLIT_POW", "0.25"))
+NMS_SPLIT_MAX = int(os.environ.get("NMS_SPLIT_MAX", "5"))
 
 
 def effective_nms_config() -> dict:
@@ -95,6 +104,8 @@ def effective_nms_config() -> dict:
         "NMS_TDOA_ELECT": NMS_TDOA_ELECT,
         "NMS_SPLIT_DEV": NMS_SPLIT_DEV,
         "NMS_SPLIT_DIS": NMS_SPLIT_DIS,
+        "NMS_SPLIT_POW": NMS_SPLIT_POW,
+        "NMS_SPLIT_MAX": NMS_SPLIT_MAX,
     }
 
 
@@ -322,15 +333,19 @@ def clustering_nms(output_pair, sample_gt=None, verbose: bool = False,
         # scripts/replay_nms.py --split — keep semantics in lockstep):
         # extra heads globally deviation-ascending, each at least
         # NMS_SPLIT_DIS from every already-emitted head.
-        in_cluster = [m for ms in clusters.values() for m in ms]
+        head_pow = {m: candidates[ms[0]][2]
+                    for ms in clusters.values() for m in ms}
         extras = sorted(
-            ((m, candidates[m][-2].get("tdoa_dev")) for m in in_cluster
+            ((m, candidates[m][-2].get("tdoa_dev")) for m in head_pow
              if m not in emitted
              and candidates[m][-2].get("tdoa_dev") is not None
-             and candidates[m][-2]["tdoa_dev"] <= NMS_SPLIT_DEV),
+             and candidates[m][-2]["tdoa_dev"] <= NMS_SPLIT_DEV
+             and candidates[m][2] >= NMS_SPLIT_POW * head_pow[m]),
             key=lambda t: t[1])
+        cap = min(NMS_MAX_OUT,
+                  NMS_SPLIT_MAX if NMS_SPLIT_MAX > 0 else NMS_MAX_OUT)
         for m, dev in extras:
-            if len(emitted) >= NMS_MAX_OUT:
+            if len(emitted) >= cap:
                 break
             pos = np.asarray(candidates[m][0].center_pos())[:2]
             if all(np.linalg.norm(

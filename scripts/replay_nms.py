@@ -54,7 +54,7 @@ def load_scenes(folder):
 def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
            win_thr2=NMS_WIN_THRESHOLD2, dis_thr=NMS_DIS_THRESHOLD,
            max_out=NMS_MAX_OUT, tdoa_gate=0.0, elect=False,
-           split_dev=0.0, split_dis=0.0):
+           split_dev=0.0, split_dis=0.0, split_pow=0.0, split_max=5):
     mat = np.asarray(summary["pair_sisdr"])
     centers = [np.asarray(c) for c in summary["centers"]]
     labels = summary["in_labels"]
@@ -123,12 +123,18 @@ def replay(summary, pairs, sisdr_thr, win_thr=NMS_WIN_THRESHOLD,
         # members as extra heads (dev-ascending) up to max_out total.
         extras = []
         emitted = list(heads)
+        powers = summary["powers"]
+        head_pow = {m: powers[h] for h in members for m in members[h]}
         cands = sorted(
             ((m, devs[m]) for h in members for m in members[h]
              if m not in emitted and devs[m] is not None
-             and devs[m] <= split_dev),
+             and devs[m] <= split_dev
+             and powers[m] >= split_pow * head_pow[m]),
             key=lambda t: t[1])
+        cap = min(max_out, split_max if split_max > 0 else max_out)
         for m, _ in cands:
+            if len(emitted) >= cap:
+                break
             if all(float(np.linalg.norm(centers[m][:2] - centers[e][:2]))
                    >= split_dis for e in emitted):
                 extras.append(m)
@@ -249,17 +255,20 @@ def split_sweep(folder, sisdr_thr):
           f"({len(scenes)} scenes, {gt_total} GT)")
     print(f"{'dev':>5} {'dis':>5} {'heads/scene':>12} {'GT surviving':>14} "
           f"{'labeled heads':>14}")
-    for dev in [0.0, 2.0, 3.0, 5.0, 8.0, 12.0]:
-        for dis in ([0.0] if dev == 0 else [0.45, 0.8, 1.2]):
+    for dev in [0.0, 1.0, 2.0, 3.0, 5.0]:
+        for dis, pw in ([(0.0, 0.0)] if dev == 0 else
+                        [(0.8, 0.0), (0.8, 0.25), (0.8, 0.4), (0.8, 0.6),
+                         (1.2, 0.25)]):
             h = lg = lh = 0
             for _, n_spk, summary, pairs in scenes:
                 nh, out_labels, labeled, _, _, _ = replay(
                     summary, pairs, sisdr_thr, elect=True,
-                    split_dev=dev, split_dis=dis)
+                    split_dev=dev, split_dis=dis, split_pow=pw)
                 h += nh
                 lg += len(out_labels)
                 lh += labeled
-            print(f"{dev:>5.1f} {dis:>5.2f} {h / len(scenes):>12.2f} "
+            print(f"{dev:>5.1f} {dis:>5.2f} pow{pw:>4.2f} "
+                  f"{h / len(scenes):>10.2f} "
                   f"{lg}/{gt_total} ({lg / gt_total:.2f}){'':>3} "
                   f"{lh:>8}/{h:<5}")
 

@@ -98,8 +98,10 @@ def test_nms_gate_drops_offposition_head(monkeypatch):
     true_head = pair([1.0, 1.0, 0.3],
                      a + 1e-4 * rng.normal(size=T), 1.0, "0_0", dev=1.0)
 
-    # Gate off, election off: identical audio -> the leak wins on power.
+    # Gate off, election off, split off: identical audio -> the leak wins
+    # on power.
     monkeypatch.setattr(clustering, "NMS_TDOA_ELECT", False)
+    monkeypatch.setattr(clustering, "NMS_SPLIT_DEV", 0.0)
     _, final, _ = clustering.clustering_nms([leak, true_head])
     assert len(final) == 1 and final[0][3] == "1_0"
 
@@ -157,7 +159,8 @@ def test_nms_split_emits_distinct_consistent_member(monkeypatch):
     near_good = pair([1.2, 1.0, 0.3],
                      a + 3e-4 * rng.normal(size=T), 0.8, "near_good", dev=0.8)
 
-    # all four merge into one cluster (identical audio); default: 1 head
+    # all four merge into one cluster (identical audio); split off: 1 head
+    monkeypatch.setattr(clustering, "NMS_SPLIT_DEV", 0.0)
     _, final, _ = clustering.clustering_nms(
         [head, far_good, far_bad, near_good])
     assert [f[3] for f in final] == ["head"]
@@ -167,6 +170,17 @@ def test_nms_split_emits_distinct_consistent_member(monkeypatch):
     _, final, _ = clustering.clustering_nms(
         [head, far_good, far_bad, near_good])
     assert [f[3] for f in final] == ["head", "far_good"]
+
+    # power floor: far_good at 10% of the head's power is dropped
+    weak = pair([3.0, 3.0, 0.3], far_good[1], 0.2, "weak", dev=1.0)
+    _, final, _ = clustering.clustering_nms([head, weak, far_bad, near_good])
+    assert [f[3] for f in final] == ["head"]
+
+    # split cap: never beyond NMS_SPLIT_MAX total heads
+    monkeypatch.setattr(clustering, "NMS_SPLIT_MAX", 1)
+    _, final, _ = clustering.clustering_nms(
+        [head, far_good, far_bad, near_good])
+    assert [f[3] for f in final] == ["head"]
 
 
 def test_leaked_extraction_scores_high():
