@@ -222,7 +222,8 @@ def compute_metrics(input_signal, est_signal, gt, permute: bool = False):
 def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
                      cache_geometry: bool = False, grid_size: float = 0.05,
                      sample_filter=None, shard_index: int = 0,
-                     num_shards: int = 1, degrade: bool = False):
+                     num_shards: int = 1, degrade: bool = False,
+                     lanes: int = 1):
     """Run the pipeline over every sample dir; returns aggregate counters.
 
     `model` is a JointPipeline (pipeline/joint.py).
@@ -231,6 +232,13 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
     (SURVEY.md §2.4): `shard_index`/`num_shards` split the sample list for
     multi-host data-parallel sweeps; per-sample result JSONs merge by
     concatenation and analyze.py aggregates them.
+
+    `lanes>1` runs throughput mode on ONE chip: N pipeline lanes sharing
+    the compiled executors (pipeline/throughput.py) so scene k's host work
+    (WAV IO, degradation codec, permutation matching, BSS-Eval metrics)
+    overlaps scene k+1's device sweeps.  Per-scene outputs are identical to
+    the serial loop (no cross-scene state); incompatible with power
+    tracing, whose record buffer is process-global.
 
     `degrade=True` runs the robot-condition proxy (see `degrade_mixture`):
     the mixture is degraded with Opus + noise + timing jitter before the
@@ -260,18 +268,21 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
                                              0.0),
                 **effective_nms_config(),
             }, f, indent=4)
-    codec = None
-    if degrade:
-        from ..constants import CHANNELS_PER_MIC, CODEC_FRAME_DURATION_S
-        from ..utils.codec import OpusCodec
+    codecs: dict = {}  # one Opus encoder per pipeline lane (stateful)
 
-        codec = OpusCodec(CHANNELS_PER_MIC, FS, CODEC_FRAME_DURATION_S)
+    def _lane_codec(model):
+        if not degrade:
+            return None
+        if id(model) not in codecs:
+            from ..constants import CHANNELS_PER_MIC, CODEC_FRAME_DURATION_S
+            from ..utils.codec import OpusCodec
 
-    for k, sample_no in enumerate(list_top_level_directories(dataset_dir)):
-        if k % num_shards != shard_index:
-            continue
-        if sample_filter is not None and not sample_filter(sample_no):
-            continue
+            codecs[id(model)] = OpusCodec(CHANNELS_PER_MIC, FS,
+                                          CODEC_FRAME_DURATION_S)
+        return codecs[id(model)]
+
+    def _run_one(model, sample_no):
+        codec = _lane_codec(model)
         curr = os.path.join(dataset_dir, sample_no)
         print(" ------------------- Running on sample", curr)
         save_data = {}
@@ -407,6 +418,27 @@ def evaluate_dataset(model, dataset_dir: str, results_folder: str | None = None,
         print(f"False positive = {fp}; False negative = {fn}; "
               f"True positive = {tp}")
 
+    selected = [s for k, s in
+                enumerate(list_top_level_directories(dataset_dir))
+                if k % num_shards == shard_index
+                and (sample_filter is None or sample_filter(s))]
+    if lanes > 1 and power_trace.ENABLED:
+        print("[evaluate] power tracing is process-global; forcing lanes=1")
+        lanes = 1
+    if lanes > 1:
+        from .throughput import PipelinedRunner
+
+        runner = PipelinedRunner(model, n_lanes=lanes)
+        _, tp_stats = runner.run(selected,
+                                 work_fn=lambda lane, s, i: _run_one(lane, s))
+        print(f"[evaluate] throughput mode: {tp_stats['n']} scenes in "
+              f"{tp_stats['wall_s']:.1f}s = "
+              f"{tp_stats['mixtures_per_sec']:.4f} mix/s, lane utilization "
+              f"{[round(u, 2) for u in tp_stats['lane_utilization']]}")
+    else:
+        for sample_no in selected:
+            _run_one(model, sample_no)
+
     tp, fp, fn = sum(all_tp), sum(all_fp), sum(all_fn)
     print(f"Overall tp: {tp}, fp: {fp}, fn: {fn}")
     if tp + fp > 0 and tp + fn > 0:
@@ -437,6 +469,10 @@ def main():
                              "indices with --degrade semantics into "
                              "<results_folder>_degraded (same compiled "
                              "programs, no second process)")
+    parser.add_argument("--lanes", type=int, default=1,
+                        help="throughput mode: N pipeline lanes share the "
+                             "compiled executors and overlap host metrics "
+                             "with device sweeps (pipeline/throughput.py)")
     args = parser.parse_args()
 
     from .joint import JointPipeline
@@ -452,14 +488,14 @@ def main():
                          results_folder=args.results_folder,
                          cache_geometry=args.cached_init,
                          shard_index=si, num_shards=args.num_shards,
-                         degrade=args.degrade)
+                         degrade=args.degrade, lanes=args.lanes)
     if args.degrade_shard_indices:
         folder = ((args.results_folder or "results") + "_degraded")
         for si in [int(s) for s in args.degrade_shard_indices.split(",")]:
             evaluate_dataset(model, args.dataset, results_folder=folder,
                              cache_geometry=args.cached_init,
                              shard_index=si, num_shards=args.num_shards,
-                             degrade=True)
+                             degrade=True, lanes=args.lanes)
 
 
 if __name__ == "__main__":

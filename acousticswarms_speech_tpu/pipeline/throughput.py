@@ -54,8 +54,11 @@ class PipelinedRunner:
     def __init__(self, pipe: JointPipeline, n_lanes: int = 2,
                  setup_fn=None):
         self.lanes = [pipe]
+        # Duck-typed lane creation: a custom pipeline (e.g. the test
+        # pass-through wrapper) may provide its own make_lane().
+        clone = getattr(pipe, "make_lane", None) or (lambda: make_lane(pipe))
         for _ in range(n_lanes - 1):
-            self.lanes.append(make_lane(pipe))
+            self.lanes.append(clone())
         if setup_fn is not None:
             for lane in self.lanes:
                 setup_fn(lane)

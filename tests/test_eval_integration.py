@@ -75,6 +75,12 @@ class _DelayAndSumPipeline:
         return patches, audio_loc, np.asarray(audio_loc), srp_drop, \
             stage1_drop, spot_times
 
+    def make_lane(self):
+        # lanes share the (stateless) executor; fresh MicArray stage state
+        lane = _DelayAndSumPipeline()
+        lane._inner.spot_model = self._inner.spot_model
+        return lane
+
 
 @pytest.mark.slow
 def test_evaluate_dataset_end_to_end(tmp_path):
@@ -106,3 +112,34 @@ def test_evaluate_dataset_end_to_end(tmp_path):
     assert out["tp"] >= 1
     if summary["loc_err_median"] is not None:
         assert summary["loc_err_median"] < 1.0
+
+
+@pytest.mark.slow
+def test_evaluate_dataset_lanes_matches_serial(tmp_path):
+    """Throughput mode (lanes=2) must produce identical counters and
+    per-scene result JSONs as the serial loop."""
+    from acousticswarms_speech_tpu.pipeline.evaluate import evaluate_dataset
+
+    ds = tmp_path / "ds"
+    scenes = [
+        [np.array([4.8, 2.4, 0.4]), np.array([2.2, 3.4, 0.3])],
+        [np.array([5.2, 3.8, 0.35])],
+        [np.array([3.0, 4.2, 0.45]), np.array([1.8, 2.0, 0.3])],
+    ]
+    for i, srcs in enumerate(scenes):
+        _write_sample(str(ds / f"{i:05d}"), srcs, T=36000, seed=10 + i)
+
+    serial = str(tmp_path / "serial")
+    out1 = evaluate_dataset(_DelayAndSumPipeline(), str(ds),
+                            results_folder=serial, grid_size=0.06)
+    laned = str(tmp_path / "laned")
+    out2 = evaluate_dataset(_DelayAndSumPipeline(), str(ds),
+                            results_folder=laned, grid_size=0.06, lanes=2)
+    assert out1 == out2
+    for i in range(len(scenes)):
+        with open(os.path.join(serial, f"result_{i:05d}.json")) as f:
+            r1 = json.load(f)
+        with open(os.path.join(laned, f"result_{i:05d}.json")) as f:
+            r2 = json.load(f)
+        r1.pop("stage_times"), r2.pop("stage_times")
+        assert r1 == r2
