@@ -28,7 +28,11 @@ def main():
     exp_dir, threshold = sys.argv[1].rstrip("/"), float(sys.argv[2])
     state_path = os.path.join(exp_dir, "checkpoints", "state.msgpack")
     summary = load_state_summary(state_path)
-    losses = (summary or {}).get("test_losses") or []
+    # sidecar key is val_losses (checkpoints.save_state); older runs wrote
+    # test_losses — accept either (the round-5 close silently skipped on
+    # this mismatch)
+    losses = ((summary or {}).get("val_losses")
+              or (summary or {}).get("test_losses") or [])
     if not losses:
         print(f"[export_if_better] no val history in {state_path}; skipping")
         return
